@@ -1,0 +1,163 @@
+package graft.geom
+
+import org.locationtech.jts.geom._
+import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
+import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader, WKTWriter}
+import org.locationtech.jts.operation.buffer.BufferParameters
+import org.locationtech.jts.algorithm.MinimumDiameter
+import org.locationtech.jts.precision.GeometryPrecisionReducer
+
+/**
+ * Core geometry kernel: WKB <-> JTS codec plus the scalar geometry operations
+ * the reference engine exposes as H2GIS SQL functions (see SURVEY.md §2.8;
+ * reference sites cited per-method). Geometries travel through Spark plans as
+ * WKB `BinaryType` columns; JTS objects exist only inside expression evaluation.
+ *
+ * JTS 1.20.0 — same version as the reference (reference pom.xml:39) — so
+ * overlay/buffer results are bit-compatible with the reference's H2GIS results.
+ *
+ * Thread safety: WKB/WKT readers+writers are NOT thread safe -> ThreadLocal.
+ */
+object Geo {
+  val factory = new GeometryFactory(new PrecisionModel(PrecisionModel.FLOATING), 0)
+
+  private val wkbR = ThreadLocal.withInitial[WKBReader](() => new WKBReader(factory))
+  private val wkbW = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(2))
+  private val wktR = ThreadLocal.withInitial[WKTReader](() => new WKTReader(factory))
+  private val wktW = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter(2))
+
+  def fromWkb(b: Array[Byte]): Geometry = if (b == null) null else wkbR.get.read(b)
+  def toWkb(g: Geometry): Array[Byte]   = if (g == null) null else wkbW.get.write(g)
+  def fromWkt(s: String): Geometry      = if (s == null) null else wktR.get.read(s)
+  def toWkt(g: Geometry): String        = if (g == null) null else wktW.get.write(g)
+  def wktToWkb(s: String): Array[Byte]  = toWkb(fromWkt(s))
+
+  def point(x: Double, y: Double): Geometry = factory.createPoint(new Coordinate(x, y))
+
+  /** Axis-aligned box polygon (used by cell bounds, ST_EXPAND, grids). */
+  def box(x0: Double, y0: Double, x1: Double, y1: Double): Geometry = {
+    val cs = Array(new Coordinate(x0, y0), new Coordinate(x1, y0),
+      new Coordinate(x1, y1), new Coordinate(x0, y1), new Coordinate(x0, y0))
+    factory.createPolygon(cs)
+  }
+
+  // ---- prepared-geometry cache --------------------------------------------
+  // The reference creates an in-DB spatial index before every join
+  // (BuildingIndicators.groovy:148-149); our equivalent for the *refinement*
+  // step is a per-thread LRU of PreparedGeometry keyed by the WKB bytes, so a
+  // broadcast polygon probed by millions of points is only prepared once per
+  // executor thread.
+  private final class Lru[K, V](cap: Int) extends java.util.LinkedHashMap[K, V](cap * 2, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean = size() > cap
+  }
+  private val prepCache = ThreadLocal.withInitial[Lru[java.nio.ByteBuffer, PreparedGeometry]](
+    () => new Lru[java.nio.ByteBuffer, PreparedGeometry](4096))
+
+  def prepared(wkb: Array[Byte]): PreparedGeometry = {
+    val key = java.nio.ByteBuffer.wrap(wkb)
+    val c = prepCache.get
+    var p = c.get(key)
+    if (p == null) { p = PreparedGeometryFactory.prepare(fromWkb(wkb)); c.put(key, p) }
+    p
+  }
+
+  // ---- scalar ops (H2GIS names in comments; reference call sites in SURVEY §2.8)
+
+  /** ST_PERIMETER: exterior-ring length only (holes excluded) — matches the
+    * reference golden total_facade_length = perimeter + holes-perimeter
+    * (BuildingIndicators.groovy:70-96: building 7 -> perimeter 30, holes 8). */
+  def perimeter(g: Geometry): Double = g match {
+    case p: Polygon => p.getExteriorRing.getLength
+    case mp: MultiPolygon =>
+      (0 until mp.getNumGeometries).map(i => perimeter(mp.getGeometryN(i))).sum
+    case other => other.getLength
+  }
+
+  /** Sum of interior-ring (hole) perimeters. */
+  def holesPerimeter(g: Geometry): Double = g match {
+    case p: Polygon => (0 until p.getNumInteriorRing).map(p.getInteriorRingN(_).getLength).sum
+    case mp: MultiPolygon =>
+      (0 until mp.getNumGeometries).map(i => holesPerimeter(mp.getGeometryN(i))).sum
+    case _ => 0.0
+  }
+
+  /** ST_HOLES area: total area of interior rings (BlockIndicators.groovy:44-66). */
+  def holesArea(g: Geometry): Double = g match {
+    case p: Polygon =>
+      (0 until p.getNumInteriorRing)
+        .map(i => factory.createPolygon(p.getInteriorRingN(i).getCoordinateSequence).getArea).sum
+    case mp: MultiPolygon =>
+      (0 until mp.getNumGeometries).map(i => holesArea(mp.getGeometryN(i))).sum
+    case _ => 0.0
+  }
+
+  /** ST_BUFFER with mitre join (negative mitre buffer used for
+    * passive-volume ratio — BuildingIndicators.groovy:88). */
+  def bufferMitre(g: Geometry, dist: Double): Geometry = {
+    val bp = new BufferParameters()
+    bp.setJoinStyle(BufferParameters.JOIN_MITRE)
+    org.locationtech.jts.operation.buffer.BufferOp.bufferOp(g, dist, bp)
+  }
+
+  /** ST_BUFFER flat endcap (road half-width buffer — BuildingIndicators.groovy:390). */
+  def bufferFlat(g: Geometry, dist: Double): Geometry = {
+    val bp = new BufferParameters()
+    bp.setEndCapStyle(BufferParameters.CAP_FLAT)
+    org.locationtech.jts.operation.buffer.BufferOp.bufferOp(g, dist, bp)
+  }
+
+  /** ST_EXPAND: envelope grown by d in every direction (BuildingIndicators.groovy:311). */
+  def expand(g: Geometry, d: Double): Geometry = {
+    val e = g.getEnvelopeInternal
+    box(e.getMinX - d, e.getMinY - d, e.getMaxX + d, e.getMaxY + d)
+  }
+
+  /** ST_MAXDISTANCE: max distance between two geometries = max pairwise
+    * distance of convex-hull vertices (BuildingIndicators.groovy:483). */
+  def maxDistance(a: Geometry, b: Geometry): Double = {
+    val ca = a.convexHull().getCoordinates
+    val cb = b.convexHull().getCoordinates
+    var m = 0.0
+    var i = 0
+    while (i < ca.length) {
+      var j = 0
+      while (j < cb.length) { val d = ca(i).distance(cb(j)); if (d > m) m = d; j += 1 }
+      i += 1
+    }
+    m
+  }
+
+  /** ST_MINIMUMRECTANGLE (SMBR — GenericIndicators.groovy:318). */
+  def minimumRectangle(g: Geometry): Geometry = new MinimumDiameter(g).getMinimumRectangle
+
+  /** ST_AZIMUTH of two points, radians clockwise from north (GenericIndicators.groovy:329). */
+  def azimuth(x1: Double, y1: Double, x2: Double, y2: Double): Double = {
+    val a = math.atan2(x2 - x1, y2 - y1)
+    if (a < 0) a + 2 * math.Pi else a
+  }
+
+  /** ST_TOMULTISEGMENTS: explode linework into 2-point segments
+    * (RsuIndicators.groovy:493-500). Returns (x1,y1,x2,y2) tuples. */
+  def segments(g: Geometry): Array[(Double, Double, Double, Double)] = {
+    val out = Array.newBuilder[(Double, Double, Double, Double)]
+    def walk(geom: Geometry): Unit = geom match {
+      case l: LineString =>
+        val cs = l.getCoordinates
+        var i = 0
+        while (i < cs.length - 1) { out += ((cs(i).x, cs(i).y, cs(i + 1).x, cs(i + 1).y)); i += 1 }
+      case p: Polygon =>
+        walk(p.getExteriorRing); (0 until p.getNumInteriorRing).foreach(i => walk(p.getInteriorRingN(i)))
+      case gc: GeometryCollection =>
+        (0 until gc.getNumGeometries).foreach(i => walk(gc.getGeometryN(i)))
+      case _ => ()
+    }
+    walk(g)
+    out.result()
+  }
+
+  /** ST_PRECISIONREDUCER scale=10^digits (RsuIndicators.groovy:1604 uses 3). */
+  def precisionReduce(g: Geometry, digits: Int): Geometry = {
+    val pm = new PrecisionModel(math.pow(10, digits))
+    GeometryPrecisionReducer.reduce(g, pm)
+  }
+}

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.geom.{Geo, GeoFunctions => G}
+import graft.index.CellGrid
+
+/**
+ * Cell-equijoin spatial joins — the engine's replacement for the reference's
+ * universal join idiom `a.the_geom && b.the_geom AND ST_INTERSECTS(...)` over
+ * an R-tree (SURVEY.md §2.3, §4): candidate pruning is a hash equi-join on
+ * cell id; refinement is a prepared-geometry predicate that only ever
+ * *removes* pairs (covers have no false negatives).
+ *
+ * Scale design (100 TB side = `points`/`source`):
+ *  - the big side computes exactly ONE cell per row (integer math, no
+ *    explode) — no blow-up of the large input;
+ *  - the polygon side (reference polygons: buildings/RSU/zones) explodes to
+ *    its fixed-res cover and is broadcast when small → ZERO shuffle of the
+ *    big table; when large, both sides shuffle on cell id with optional
+ *    salting of hot cells (urban hotspots / popular domains, SURVEY §7.4.5);
+ *  - duplicate candidate pairs from multi-cell × multi-cell covers are
+ *    deduplicated with the reference-point trick (pair kept only in the cell
+ *    that contains the bbox-intersection corner) — no `distinct` shuffle.
+ */
+object SpatialJoin {
+
+  val CellCol = "__cell"
+  private val SaltCol = "__salt"
+
+  /** cover(geom,res) as a UDF bound to a grid. */
+  def coverUdf(grid: CellGrid, res: Int) =
+    udf((wkb: Array[Byte]) => grid.cover(Geo.fromWkb(wkb), res))
+  def compactCoverUdf(grid: CellGrid, res: Int, minRes: Int) =
+    udf((wkb: Array[Byte]) => grid.compactCover(Geo.fromWkb(wkb), res, minRes))
+  def cellUdf(grid: CellGrid, res: Int) =
+    udf((x: Double, y: Double) => grid.cell(x, y, res))
+  def radiusCellsUdf(grid: CellGrid, res: Int, r: Double) =
+    udf((wkb: Array[Byte]) => {
+      val e = Geo.fromWkb(wkb).getEnvelopeInternal
+      e.expandBy(r)
+      grid.coverEnvelope(e, res)
+    })
+
+  /**
+   * Point-in-polygon join: `points(xCol,yCol,...) ⋈ polys(geomCol,...)`,
+   * keeping point rows whose (x,y) is contained in the polygon
+   * (reference: point-on-surface containment mode of `spatialJoin`,
+   * SpatialUnits.groovy:479-527).
+   *
+   * @param broadcastPolys broadcast the exploded polygon cover (small dims)
+   * @param salts >1 replicates the polygon side `salts` ways and routes
+   *              points by hash — spreads a hot cell over `salts` reducers.
+   */
+  def pointInPolygon(points: DataFrame, xCol: String, yCol: String,
+                     polys: DataFrame, geomCol: String,
+                     grid: CellGrid, res: Int,
+                     broadcastPolys: Boolean = true, salts: Int = 1): DataFrame = {
+    val polyCells0 = polys.withColumn(CellCol, explode(coverUdf(grid, res)(col(geomCol))))
+    val ptCells0   = points.withColumn(CellCol, cellUdf(grid, res)(col(xCol), col(yCol)))
+    val (polyCells, ptCells, keys) =
+      if (broadcastPolys || salts <= 1) (polyCells0, ptCells0, Seq(CellCol))
+      else (polyCells0.withColumn(SaltCol, explode(lit((0 until salts).toArray))),
+            ptCells0.withColumn(SaltCol, pmod(xxhash64(col(xCol), col(yCol)), lit(salts)).cast("int")),
+            Seq(CellCol, SaltCol))
+    val polySide = if (broadcastPolys) broadcast(polyCells) else polyCells
+    ptCells.join(polySide, keys)
+      .where(G.stContainsPoint(col(geomCol), col(xCol), col(yCol)))
+      .drop(CellCol, SaltCol)
+  }
+
+  /**
+   * Candidate pairs of two polygon/line sets intersecting by cell, with
+   * reference-point dedup (pair emitted only in the cell containing the
+   * upper-left corner of the bbox intersection). Columns of both inputs are
+   * kept; caller refines with an exact predicate.
+   */
+  def candidates(a: DataFrame, aGeom: String, b: DataFrame, bGeom: String,
+                 grid: CellGrid, res: Int, broadcastB: Boolean = false): DataFrame = {
+    val envU = udf((wkb: Array[Byte]) => {
+      val e = Geo.fromWkb(wkb).getEnvelopeInternal; Array(e.getMinX, e.getMinY)
+    })
+    val aC = a.withColumn("__aenv", envU(col(aGeom)))
+      .withColumn(CellCol, explode(coverUdf(grid, res)(col(aGeom))))
+    val bC0 = b.withColumn("__benv", envU(col(bGeom)))
+      .withColumn(CellCol, explode(coverUdf(grid, res)(col(bGeom))))
+    val bC = if (broadcastB) broadcast(bC0) else bC0
+    val refCell = cellUdf(grid, res)(
+      greatest(col("__aenv")(0), col("__benv")(0)),
+      greatest(col("__aenv")(1), col("__benv")(1)))
+    aC.join(bC, CellCol)
+      .where(refCell === col(CellCol))
+      .drop(CellCol, "__aenv", "__benv")
+  }
+
+  /** Intersection join: candidates refined by prepared ST_INTERSECTS
+    * (reference `&&` + ST_INTERSECTS — BuildingIndicators.groovy:162-163). */
+  def intersectsJoin(a: DataFrame, aGeom: String, b: DataFrame, bGeom: String,
+                     grid: CellGrid, res: Int, broadcastB: Boolean = false): DataFrame =
+    candidates(a, aGeom, b, bGeom, grid, res, broadcastB)
+      .where(G.stIntersects(col(bGeom), col(aGeom)))
+
+  /**
+   * Tile / zone assignment, max-overlap mode: each source polygon assigned to
+   * the target with the largest intersection area — the reference's
+   * correlated `ORDER BY ST_AREA(ST_INTERSECTION(...)) DESC LIMIT 1`
+   * decorrelated to a max_by aggregate (SpatialUnits.groovy:500-511; SURVEY
+   * §4 "manually decorrelated").
+   * Tie-break: larger target id (deterministic).
+   */
+  def assignMaxOverlap(source: DataFrame, srcId: String, srcGeom: String,
+                       target: DataFrame, tgtId: String, tgtGeom: String,
+                       grid: CellGrid, res: Int, broadcastTarget: Boolean = true): DataFrame = {
+    val cand = candidates(source, srcGeom,
+        target.select(col(tgtId), col(tgtGeom).as("__tgeom")), "__tgeom",
+        grid, res, broadcastTarget)
+      .withColumn("__ia", G.stIntersectionArea(col("__tgeom"), col(srcGeom)))
+      .where(col("__ia") > 0)
+    cand.groupBy(col(srcId))
+      .agg(max(struct(col("__ia"), col(tgtId))).getField(tgtId).as(tgtId))
+  }
+
+  /** Point containment assignment (reference `pointOnSurface` mode):
+    * source polygons assigned to the target containing their interior point. */
+  def assignPointOnSurface(source: DataFrame, srcId: String, srcGeom: String,
+                           target: DataFrame, tgtId: String, tgtGeom: String,
+                           grid: CellGrid, res: Int, broadcastTarget: Boolean = true): DataFrame = {
+    val pts = source.select(col(srcId),
+      G.stX(G.stPointOnSurf(col(srcGeom))).as("__px"),
+      G.stY(G.stPointOnSurf(col(srcGeom))).as("__py"))
+    pointInPolygon(pts, "__px", "__py",
+        target.select(col(tgtId), col(tgtGeom).as("__tgeom")), "__tgeom",
+        grid, res, broadcastTarget)
+      .select(col(srcId), col(tgtId))
+  }
+
+  /**
+   * Bounded min-distance join (k-ring-expansion kNN; reference
+   * `ST_EXPAND(a,100) && b -> MIN(ST_DISTANCE)` with default when no
+   * neighbour — BuildingIndicators.groovy:304-432). Duplicate candidates are
+   * harmless under MIN, so no dedup pass is needed.
+   * Returns `source.*` + `minDistCol`.
+   */
+  def minDistanceWithin(source: DataFrame, srcId: String, srcGeom: String,
+                        target: DataFrame, tgtGeom: String,
+                        maxDist: Double, defaultDist: Double,
+                        grid: CellGrid, res: Int, minDistCol: String = "min_distance",
+                        broadcastTarget: Boolean = true,
+                        excludeSelfId: Option[String] = None): DataFrame = {
+    val srcCells = source.select(col(srcId), col(srcGeom))
+      .withColumn(CellCol, explode(radiusCellsUdf(grid, res, maxDist)(col(srcGeom))))
+    val tgtSel = excludeSelfId match {
+      case Some(tid) => target.select(col(tgtGeom).as("__tgeom"), col(tid).as("__tid"))
+      case None      => target.select(col(tgtGeom).as("__tgeom"))
+    }
+    val tgtCells0 = tgtSel.withColumn(CellCol, explode(coverUdf(grid, res)(col("__tgeom"))))
+    val tgtCells = if (broadcastTarget) broadcast(tgtCells0) else tgtCells0
+    val joined0 = srcCells.join(tgtCells, CellCol)
+    val joined = excludeSelfId match {
+      case Some(_) => joined0.where(col(srcId) =!= col("__tid"))
+      case None    => joined0
+    }
+    val dists = joined
+      .withColumn("__d", G.stDistance(col(srcGeom), col("__tgeom")))
+      .where(col("__d") <= maxDist)
+      .groupBy(col(srcId)).agg(min(col("__d")).as(minDistCol))
+    source.join(dists, Seq(srcId), "left")
+      .withColumn(minDistCol, coalesce(col(minDistCol), lit(defaultDist)))
+  }
+}

@@ -1,0 +1,29 @@
+package graft.lake
+
+import java.nio.file.Files
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class LakeSpec extends SparkTestBase {
+
+  test("stage computes, commits manifest + lineage, and resumes without recompute") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("lake").toString
+    var computeCount = 0
+    def compute = { computeCount += 1; spark.range(100).toDF("v") }
+    val first = Lake.stage(spark, root, "s1")(compute)
+    assert(first.count() == 100 && computeCount == 1)
+    assert(Lake.isCommitted(root, "s1"))
+    // resume: no recompute
+    val again = Lake.stage(spark, root, "s1")(compute)
+    assert(again.count() == 100 && computeCount == 1)
+    // lineage has per-file rows summing to the table count
+    val lin = Lake.readLineage(spark, root, "s1")
+    assert(lin.agg(sum("rows")).head().getLong(0) == 100)
+    assert(lin.columns.toSet == Set("file", "bytes", "rows", "stage"))
+    // invalidate forces recompute
+    Lake.invalidate(root, "s1")
+    Lake.stage(spark, root, "s1")(compute)
+    assert(computeCount == 2)
+  }
+}
