@@ -133,6 +133,31 @@ object GeoFixture {
     (1, "POLYGON((-2 95, 2 95, 2 105, -2 105, -2 95))", 0, true),
     (2, "POLYGON((1050 1000, 1100 1000, 1100 1050, 1050 1050, 1050 1000))", 0, false))
 
+  /** rsu_test_all_indics_for_lcz (data_for_tests.sql:122-139), 20 rows;
+    * NaN encodes SQL NULL. Column order as in the INSERT. */
+  val rsuAllIndicsLcz: Seq[(Int, Double, Double, Double, Double, Double, Double, Double,
+      Double, Double, Double, Double, Double, Double, Double, Double, Double, Double)] = Seq(
+    (1, 0.3, 4, 0.5, 0.5, 0.05, 30, 3, 0, 0, 0, 0.5, 0, 0.3, 0.7, 11.2, 0.3, 0.0),
+    (2, 0.9, 0.4, 0.4, 0.45, 0.1, 5.5, 0.250, 0, 0, 0, 0.45, 0, 0.1, 0.6, Double.NaN, 0.6, 0.3),
+    (3, 0.9, 0.08, 0.09, 0.1, 0.9, 30, 3, 0.2, 0.2, 0.5, 0.1, 0, 0, 1.0, 5.1, 0.9, 0.0),
+    (4, 1.0, 0.0, 0.0, 0.1, 0.9, 5.5, 0.250, 0.2, 0.6, 0.2, 0.1, 0, 0, 1.0, 6.4, 1.0, 0.0),
+    (5, 0.95, 0.08, 0.09, 0.1, 0.9, 30, 3, 0.9, 0.0, 0.0, 0.1, 0, 0, 1.0, 1.8, 0.95, 0.0),
+    (6, 1.0, 0.0, 0.0, 0.0, 1.0, 5.5, 0.250, 0.03, 0.6, 0.2, 0.0, 0, 0, 1.0, 2.8, 1.0, 0.0),
+    (7, 1.0, 0.0, 0.0, 0.45, 0.3, 5.5, 0.250, 0.05, 0.05, 0.2, 0.45, 0, 0, 1.0, 1.9, 1.0, 0.0),
+    (8, 1.0, 0.0, 0.0, 0.0, 0.0, 5.5, 0.250, 0.0, 0.0, 0.0, 0.0, 0, 0, 1.0, 2.3, 1.0, 0.0),
+    (9, 1.0, 0.0, 0.0, 0.22, 0.38, 0, 0.19, 0.0, 0.0, 0.19, 0.15, 0, 0, 1.0, 5.6, 1.0, 0.0),
+    (10, 1.0, 0.0, 0.0, 0.0, 0.77, 0, 0.250, 0.76, 0.01, 0.0, 0.0, 0, 0, 1.0, 9.8, 1.0, 0.0),
+    (11, 1.0, 0.0, 0.0, 0.0, 0.12, 0, 0.250, 0.12, 0.08, 0.0, 0.0, 0, 0, 1.0, 1.8, 1.0, 0.0),
+    (12, 1.0, 0.0, 0.15, 0.0, 0.12, 0, 0.250, 0.12, 0.08, 0.0, 0.0, 0.35, 0, 1.0, Double.NaN, 1.0, 0.0),
+    (13, 0.687, 1.111, 0.288, 0.058, 0.103, 5.66, 0.849, 0.116, 0.0, 0.0, 0.0, Double.NaN, 0, 1.0, 2.1, 0.687, 0.0),
+    (14, 0.83, 0.36, 0.21, 0, 0, 6.44, 0.58, 0, 0, 0, 0, Double.NaN, 0, 1.0, 3.3, 0.83, 0.0),
+    (15, 0.701, 1.38, 0.156, 0, 0, 21.95, 3, 0, 0, 0, 0, Double.NaN, 0, 1.0, 4.6, 0.701, 0.0),
+    (16, 0.820, 0.56, 0.22, 0, 0, 5.28, 0.726, 0, 0, 0, 0, Double.NaN, 0, 1.0, 7.6, 0.820, 0.0),
+    (17, 0.0, 0.0, 0.0, 0.10, 0.42, 0.0, 0.0, 0.42, 0, 0, 0, Double.NaN, 0, 1.0, 0.8, 0.0, 0.0),
+    (18, 1, 0, 0, 0, 0.999, 0.0, 0.0, 0.999, 0, 0.999, 0, 0, 0, 1.0, 2.3, 1, 0.0),
+    (19, 0.8, 0.2, 0.4, 0.45, 0.16, 5, 0.25, 0.19, 0, 0.19, 0, 0.4, 0.41, 0.19, 2.8, 0.8, 0.0),
+    (20, 0.3, 4, 0.5, 0.5, 0.05, 30, 3, 0, 0, 0, 0.5, 0, 0.3, 0.7, 8.8, 0.3, 0.0))
+
   // ---- DataFrame builders (geom as WKB BinaryType, like the engine) -------
   import org.apache.spark.sql.functions._
 
@@ -182,4 +207,32 @@ object GeoFixture {
     import spark.implicits._
     geomify(hydros.toDF("id_water", "wkt", "zindex", "intermittent"))
   }
+
+  private val lczAllCols = Seq("id_rsu", "sky_view_factor", "aspect_ratio",
+    "building_fraction_lcz", "impervious_fraction_lcz", "pervious_fraction_lcz",
+    "geom_avg_height_roof", "effective_terrain_roughness_length",
+    "high_vegetation_fraction_lcz", "low_vegetation_fraction_lcz",
+    "water_fraction_lcz", "impervious_fraction",
+    "area_fraction_heavy_industry_lcz", "area_fraction_commercial_lcz",
+    "area_fraction_residential_lcz", "avg_nb_lev_area_weighted",
+    "ground_sky_view_factor", "area_fraction_light_industry_lcz")
+
+  def rsuAllIndicsLczDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val df = rsuAllIndicsLcz.toDF(lczAllCols: _*)
+    lczAllCols.drop(1).foldLeft(df) { (d, c) =>
+      d.withColumn(c, when(isnan(col(c)), lit(null)).otherwise(col(c)))
+    }
+  }
+
+  /** rsu_test_lcz_indics (data_for_tests.sql:140-145): the 7 LCZ distance
+    * indicators renamed from the all-indics table. */
+  def lczIndicsDf(spark: SparkSession): DataFrame =
+    rsuAllIndicsLczDf(spark).select(
+      col("id_rsu"), col("sky_view_factor"), col("aspect_ratio"),
+      col("building_fraction_lcz").as("building_surface_fraction"),
+      col("impervious_fraction_lcz").as("impervious_surface_fraction"),
+      col("pervious_fraction_lcz").as("pervious_surface_fraction"),
+      col("geom_avg_height_roof").as("height_of_roughness_elements"),
+      col("effective_terrain_roughness_length").as("terrain_roughness_length"))
 }

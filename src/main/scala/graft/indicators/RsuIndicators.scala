@@ -1,0 +1,123 @@
+package graft.indicators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.geom.{GeoFunctions => G}
+import graft.index.CellGrid
+import graft.operators.SpatialJoin
+
+/**
+ * RSU-scale indicators — Spark re-expression of the reference's
+ * RsuIndicators.groovy (subset: the join/agg-shaped ones; facade/roof
+ * distributions use the same aggregate skeleton).
+ */
+object RsuIndicators {
+
+  /** SUM((1-contiguity)·facade_len·h_wall)/rsu_area, 0 for empty RSUs —
+    * RsuIndicators.groovy:53-86 (golden rsu1 = 0.947 on buildings 1-7).
+    * Input buildings need id_rsu, contiguity, total_facade_length, height_wall. */
+  def freeExternalFacadeDensity(building: DataFrame, rsu: DataFrame): DataFrame = {
+    val agg = building.groupBy("id_rsu").agg(
+      sum((lit(1.0) - col("contiguity")) * col("total_facade_length") * col("height_wall")).as("__s"))
+    rsu.select(col("id_rsu"), col("the_geom")).join(agg, Seq("id_rsu"), "left")
+      .select(col("id_rsu"),
+        coalesce(col("__s") / G.stArea(col("the_geom")), lit(0.0)).as("free_external_facade_density"))
+  }
+
+  /** 0.5·free_external_facade_density/(1−building_density), null when
+    * density=1 — RsuIndicators.groovy:383-404 (golden rsu1 = 0.672). */
+  def aspectRatio(rsu: DataFrame, facadeDensityCol: String, buildingDensityCol: String): DataFrame =
+    rsu.select(col("id_rsu"),
+      when(col(buildingDensityCol) === 1, lit(null).cast("double"))
+        .otherwise(lit(0.5) * col(facadeDensityCol) / (lit(1.0) - col(buildingDensityCol)))
+        .as("aspect_ratio"))
+
+  /** avg roof height / aspect ratio — RsuIndicators.groovy:2647-2667
+    * (golden rsu1 = 7.5). */
+  def streetWidth(rsu: DataFrame, avgHeightRoofCol: String, aspectRatioCol: String): DataFrame =
+    rsu.select(col("id_rsu"),
+      when(col(aspectRatioCol) === 0, lit(null).cast("double"))
+        .otherwise(col(avgHeightRoofCol) / col(aspectRatioCol)).as("street_width"))
+
+  /** building_fraction + free_external_facade_density —
+    * RsuIndicators.groovy:1890-1916. */
+  def buildingSurfaceDensity(rsu: DataFrame, fractionCol: String, facadeDensityCol: String): DataFrame =
+    rsu.select(col("id_rsu"),
+      (col(fractionCol) + col(facadeDensityCol)).as("building_surface_density"))
+
+  /** Davenport roughness class lookup — RsuIndicators.groovy:1276-1301
+    * (goldens: 2.3 -> 8, 0.1 -> 4, null -> null). */
+  def effectiveTerrainRoughnessClass(rsu: DataFrame, lengthCol: String): DataFrame =
+    rsu.select(col("id_rsu"),
+      when(col(lengthCol) < 0.0 || col(lengthCol).isNull, lit(null).cast("int"))
+        .when(col(lengthCol) < 0.00035, 1)
+        .when(col(lengthCol) < 0.01525, 2)
+        .when(col(lengthCol) < 0.065, 3)
+        .when(col(lengthCol) < 0.175, 4)
+        .when(col(lengthCol) < 0.375, 5)
+        .when(col(lengthCol) < 0.75, 6)
+        .when(col(lengthCol) < 1.5, 7)
+        .otherwise(8).as("effective_terrain_roughness_class"))
+
+  /**
+   * Road linework clipped per RSU, exploded to segments, azimuth bucketed
+   * into `angleRange`-degree direction classes in [0,180) + total length
+   * density — RsuIndicators.groovy:1060-1227 (goldens rsu14: d0_30=25.59,
+   * d90_120=10, density=0.0142).
+   *
+   * Output: id_rsu, road_direction_distribution_d{lo}_{hi}..., linear_road_density.
+   */
+  def linearRoadOperations(rsu: DataFrame, road: DataFrame, angleRange: Int,
+                           grid: CellGrid, res: Int): DataFrame = {
+    require(180 % angleRange == 0)
+    val nBuckets = 180 / angleRange
+    val cand = SpatialJoin.intersectsJoin(
+      rsu.select(col("id_rsu"), col("the_geom")), "the_geom",
+      road.select(col("the_geom").as("road_geom")), "road_geom", grid, res)
+    val segs = cand
+      .withColumn("__clip", G.stIntersection(col("the_geom"), col("road_geom")))
+      .select(col("id_rsu"), explode(G.stSegments(col("__clip"))).as("s"))
+      .select(col("id_rsu"), col("s._5").as("len"),
+        (col("s._6") / angleRange).cast("int").as("bucket"))
+    val pivoted = segs.groupBy("id_rsu").pivot("bucket", 0 until nBuckets).agg(sum("len"))
+    val renamed = (0 until nBuckets).foldLeft(pivoted) { (df, b) =>
+      df.withColumnRenamed(b.toString, s"road_direction_distribution_d${b * angleRange}_${(b + 1) * angleRange}")
+    }
+    val out = rsu.select(col("id_rsu"), G.stArea(col("the_geom")).as("__area"))
+      .join(renamed, Seq("id_rsu"), "left")
+    val dirCols = (0 until nBuckets).map(b =>
+      s"road_direction_distribution_d${b * angleRange}_${(b + 1) * angleRange}")
+    val filled = dirCols.foldLeft(out) { (df, c) => df.withColumn(c, coalesce(col(c), lit(0.0))) }
+    filled
+      .withColumn("linear_road_density", dirCols.map(col).reduce(_ + _) / col("__area"))
+      .drop("__area")
+  }
+
+  /** Exact roof fraction per height layer: buildings clipped to the RSU,
+    * roof area attributed to the layer containing height_roof —
+    * RsuIndicators.groovy:1938-2063 (reference loops one SQL per layer; we
+    * fuse all layers into ONE aggregate pass, SURVEY §2.4). */
+  def roofFractionDistributionExact(rsu: DataFrame, building: DataFrame,
+                                    layerBounds: Seq[(Double, Double)],
+                                    grid: CellGrid, res: Int): DataFrame = {
+    val cand = SpatialJoin.intersectsJoin(
+      rsu.select(col("id_rsu"), col("the_geom")), "the_geom",
+      building.select(col("the_geom").as("bgeom"), col("height_roof")), "bgeom", grid, res)
+      .withColumn("__a", G.stIntersectionArea(col("the_geom"), col("bgeom")))
+    val aggs = layerBounds.zipWithIndex.map { case ((lo, hi), i) =>
+      sum(when(col("height_roof") >= lo && col("height_roof") < hi, col("__a"))
+        .otherwise(0.0)).as(s"__l_$i")
+    } :+ sum(col("__a")).as("__tot")
+    val g = cand.groupBy("id_rsu").agg(aggs.head, aggs.tail: _*)
+    val out = rsu.select("id_rsu").join(g, Seq("id_rsu"), "left")
+    layerBounds.zipWithIndex.foldLeft(out) { case (df, ((lo, hi), i)) =>
+      df.withColumn(
+        s"roof_fraction_distribution_h${fmt(lo)}_${fmt(hi)}",
+        coalesce(col(s"__l_$i") / col("__tot"), lit(0.0)))
+        .drop(s"__l_$i")
+    }.drop("__tot")
+  }
+
+  private def fmt(d: Double): String =
+    if (d == d.toLong.toDouble) d.toLong.toString else d.toString.replace('.', '_')
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for a large-scale training-data pipeline over the
+ * documents/pages table: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+ *
+ * Scale design: every near-dup method is candidate-generation by equi-join
+ * on a small derived key (band hash / simhash prefix / shared shingle) —
+ * never an O(n²) cross join — then exact verification on the candidate
+ * pairs only. Same candidate-prune + refine architecture as the spatial
+ * joins (cell == band bucket).
+ */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) per distinct text. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_cnt"))
+
+  // ---- shingling ----------------------------------------------------------
+  /** Word k-shingles as 64-bit hashes (xxhash64 of the joined shingle). */
+  def shingles(textCol: Column, k: Int): Column = {
+    val words = split(textCol, " ", -1)
+    // sliding window via transform over indices; filter drops tail windows
+    val n = size(words)
+    filter(
+      transform(sequence(lit(0), greatest(n - k, lit(0))),
+        i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(k))))),
+      (_, i) => i <= n - k)
+  }
+
+  /**
+   * MinHash signature of the shingle set: minhash_i = min over shingles of
+   * h_i(s) where h_i(s) = (a_i * s + b_i) mod p (64-bit arithmetic,
+   * deterministic seeds). Returns ArrayType(Long) of length `numHashes`.
+   */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    // 31-bit Mersenne prime field: pmod(s,P) < 2^31 and a < 2^31 keep the
+    // product below 2^62 — no overflow under ANSI arithmetic.
+    val P = 2147483647L // 2^31 - 1
+    val rnd = new scala.util.Random(42)
+    val coefs = Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
+    array(coefs.map { case (a, b) =>
+      aggregate(shingleCol, lit(Long.MaxValue),
+        (acc, s) => least(acc, pmod(pmod(s, lit(P)) * a + b, lit(P))))
+    }: _*)
+  }
+
+  /**
+   * MinHash LSH near-duplicate pairs: signatures banded into `bands` groups
+   * of `rowsPerBand`; docs sharing any band bucket become candidates
+   * (equi-join on (band, bucket-hash) — shuffle on small keys, no quadratic
+   * blowup); candidates verified by exact shingle-set Jaccard >= threshold.
+   *
+   * Returns (id_a, id_b, jaccard) with id_a < id_b, deduplicated.
+   */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                 threshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = withSig.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val rhs = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    val cand = banded.join(rhs, Seq("band", "bucket"))
+      .where(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"), col("sh"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("inter", size(array_intersect(col("sh"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over word hashes: bit j of the hash = sign of
+    * Σ_words (bit j of xxhash64(word) ? +1 : -1). Pure Catalyst. */
+  def simhash64(textCol: Column): Column = {
+    val words = split(textCol, " ", -1)
+    val hashes = transform(words, w => xxhash64(w))
+    // static unroll over the 64 bits (shift amounts must be literals)
+    val bits = (0 until 64).map { j =>
+      val bitSum = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of 4 16-bit chunks
+    * (any pair within Hamming distance 3 shares a chunk — pigeonhole);
+    * verified by exact Hamming distance <= maxHamming. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("h"))
+    val chunked = sh.select(col("id"), col("h"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("h"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
+    val rhs = chunked.select(col("chunk"), col("key"), col("id").as("id_b"), col("h").as("h_b"))
+    chunked.join(rhs, Seq("chunk", "key"))
+      .where(col("id") < col("id_b"))
+      .dropDuplicates("id", "id_b")
+      .withColumn("hamming", bit_count(col("h").bitwiseXOR(col("h_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id").as("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /**
+   * Exact n-gram Jaccard similarity join: inverted-index candidate
+   * generation (explode distinct shingles, equi-join on shingle, count
+   * co-occurrences) — the standard "shared token" candidate prune — then
+   * |A∩B| / (|A|+|B|−|A∩B|) without materializing pair shingle arrays.
+   */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"),
+        array_distinct(shingles(col(textCol), k)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sz", size(col("sh")))
+    val inv = sets.select(col("id"), col("sz"), explode(col("sh")).as("g"))
+    val rhs = inv.select(col("g"), col("id").as("id_b"), col("sz").as("sz_b"))
+    inv.join(rhs, Seq("g"))
+      .where(col("id") < col("id_b"))
+      .groupBy(col("id").as("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"), first("sz").as("sz_a"), first("sz_b").as("sz_b2"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b2") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Similarity search over an embedding column (Array[Float]) — brute-force
+ * cosine top-k as the exact baseline, and an IVF (inverted-file) variant as
+ * the scale path: embeddings are bucketed to their nearest centroid once,
+ * queries probe only the `nProbe` nearest centroid buckets, so the scan cost
+ * drops from O(N·Q) to O(N·Q·nProbe/K) at a small recall cost.
+ *
+ * All dot products run as Catalyst higher-order functions (zip_with +
+ * aggregate) in double precision — no UDF, stays in whole-stage codegen.
+ */
+object Similarity {
+
+  /** dot(a,b) in double over float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Exact brute-force cosine top-k: every query (small, broadcast) against
+   * every row (one scan of the big side, no shuffle of it; the per-query
+   * top-k is a windowed rank over query partitions).
+   * Queries must have columns (qid, qvec).
+   */
+  def bruteForceTopK(data: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val joined = data.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(queries.select(col("qid"), col("qvec"))))
+    val base = if (excludeSelf) joined.where(col("vec_id") =!= col("qid")) else joined
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))
+    base.withColumn("sim", cosine(col("v"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
+  }
+
+  /** Deterministic centroid seed: the first `k` vectors by id (stable across
+    * runs; a real pipeline would run a few Lloyd iterations the same way). */
+  def seedCentroids(data: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val w = Window.orderBy(col(idCol))
+    data.select(col(idCol), col(vecCol))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select((col("rn") - 1).as("centroid_id"), col(vecCol).as("cvec"))
+  }
+
+  /** Assign each row to its nearest centroid (broadcast centroids — one
+    * map-only pass over the big table). */
+  def ivfAssign(data: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
+    val joined = data.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", cosine(col(vecCol), col("cvec")))
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("sim"), col("centroid_id"))
+    joined.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+  }
+
+  /** IVF top-k: probe only the nProbe nearest centroid buckets per query. */
+  def ivfTopK(data: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, k: Int, numCentroids: Int, nProbe: Int): DataFrame = {
+    val cents = seedCentroids(data, idCol, vecCol, numCentroids)
+    val assigned = ivfAssign(data, idCol, vecCol, cents)
+    val qProbes = queries.crossJoin(broadcast(cents))
+      .withColumn("sim_c", cosine(col("qvec"), col("cvec")))
+    val wq = Window.partitionBy("qid").orderBy(desc("sim_c"), col("centroid_id"))
+    val probes = qProbes.withColumn("rn", row_number().over(wq)).where(col("rn") <= nProbe)
+      .select(col("qid"), col("qvec"), col("centroid_id"))
+    val cand = assigned.join(broadcast(probes), Seq("centroid_id"))
+      .where(col(idCol) =!= col("qid"))
+      .withColumn("sim", cosine(col(vecCol), col("qvec")))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), col(idCol))
+    cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol).as("vec_id"), col("sim"))
+  }
+}

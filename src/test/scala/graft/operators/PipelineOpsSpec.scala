@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.fixtures.GeoFixture
+import graft.index.CellGrid
+
+/** Training-data pipeline operators vs brute-force oracles on synthetic docs. */
+class PipelineOpsSpec extends SparkTestBase {
+
+  /** Synthetic corpus with planted near-duplicates. */
+  lazy val docs = {
+    import spark.implicits._
+    val base = (0 until 60).map { i =>
+      val words = (0 until 30).map(j => s"w${(i * 7 + j * 13) % 97}")
+      (i.toLong, words.mkString(" "))
+    }
+    // planted near-dups: doc 100+i = doc i with one word changed
+    val nearDups = (0 until 10).map { i =>
+      val words = (0 until 30).map(j => if (j == 15) "CHANGED" else s"w${(i * 7 + j * 13) % 97}")
+      ((100 + i).toLong, words.mkString(" "))
+    }
+    // planted exact dups
+    val exactDups = Seq((200L, base(0)._2), (201L, base(1)._2))
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  def bruteJaccard(k: Int): Map[(Long, Long), Double] = {
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    def sh(t: String) = t.split(" ").sliding(k).map(_.mkString(" ")).toSet
+    (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      sa = sh(ta); sb = sh(tb)
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+    } yield (ia, ib) -> j).toMap
+  }
+
+  test("exact dedup finds planted duplicates") {
+    import spark.implicits._
+    val out = Dedup.exact(docs, "doc_id", "text")
+    assert(out.count() == 70) // 72 docs, 2 exact dups collapse
+    val reps = out.where(col("dup_cnt") === 2).select("doc_id").as[Long].collect().toSet
+    assert(reps == Set(0L, 1L))
+  }
+
+  test("ngramJaccardPairs matches brute force exactly") {
+    import spark.implicits._
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val expected = bruteJaccard(3).filter(_._2 >= 0.3)
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k2, j) => assert(math.abs(j - expected(k2)) < 1e-12) }
+  }
+
+  test("minhashLsh: near-certain recall at j>=0.8 (16 bands x 2 rows), exact precision") {
+    import spark.implicits._
+    val brute = bruteJaccard(3)
+    // banding probability: P(detect) = 1-(1-j^r)^b; at j=0.8, r=2, b=16 -> ~1-1e-7
+    val got = Dedup.minhashLsh(docs, "doc_id", "text", k = 3, bands = 16, rowsPerBand = 2,
+      threshold = 0.5).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mustFind = brute.filter(_._2 >= 0.8).keySet // planted near-dups + exact dups
+    assert(mustFind.nonEmpty)
+    mustFind.foreach(p => assert(got.contains(p), s"missing planted pair $p"))
+    // precision is exact: the verification step recomputes true jaccard
+    got.foreach(p => assert(brute(p) >= 0.5))
+  }
+
+  test("simhashPairs: identical docs have hamming 0; verified pairs respect bound") {
+    import spark.implicits._
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((0L, 200L)) && pairs.contains((1L, 201L)))
+    got.foreach(t => assert(t._3 <= 3))
+  }
+
+  test("brute-force cosine topk matches local computation") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") === 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    // local oracle
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = all.find(_._1 == 7L).get._2.map(_.toDouble)
+    def cos(a: Array[Float]) = {
+      val ad = a.map(_.toDouble)
+      val d = ad.zip(q).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(q.map(x => x * x).sum))
+    }
+    val expected = all.filter(_._1 != 7L).map { case (id, v) => (id, cos(v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("IVF topk: recall vs brute force >= 0.6 with 4/16 probes") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id").isin(7L, 42L, 99L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, 10,
+      numCentroids = 16, nProbe = 6)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall too low")
+  }
+
+  test("text analysis: deterministic fields and langId on real stopwords") {
+    import spark.implicits._
+    val sample = Seq(
+      (1L, "the cat and the dog sat in the garden for a while"),
+      (2L, "le chat et le chien dans le jardin avec une fleur"),
+      (3L, "zz qq xx yy")).toDF("doc_id", "text")
+    val out = TextAnalysis.analyze(sample, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1).getAs[String]("lang_id") == "en")
+    assert(out(2).getAs[String]("lang_id") == "fr")
+    assert(out(3).getAs[String]("lang_id") == "und")
+    assert(out(1).getAs[Long]("n_tokens") == 12)
+    // fingerprint is order-sensitive
+    val fp = TextAnalysis.analyze(
+      Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("fingerprint").as[Long].collect()
+    assert(fp(0) != fp(1))
+  }
+
+  test("multimodal: batched feature extraction preserves rows, schema, determinism") {
+    val media = Multimodal.synthMedia(spark, 500)
+    val f1 = Multimodal.extractFeatures(media, dim = 16, batchSize = 64)
+    assert(f1.count() == 500)
+    val r = f1.filter(_.mediaId == 123L).head()
+    assert(r.kind == "image" && r.features.length == 16)
+    val f2 = Multimodal.extractFeatures(media, dim = 16, batchSize = 7)
+    // batch size must not change results
+    assert(f1.collect().map(x => (x.mediaId, x.features.toSeq)).toMap ==
+      f2.collect().map(x => (x.mediaId, x.features.toSeq)).toMap)
+  }
+
+  test("connected components reproduce the fixture block correlation") {
+    import spark.implicits._
+    val grid = CellGrid.fixture
+    val buildings = GeoFixture.buildingDf(spark).where(col("id_block").isNotNull)
+    val blocks = ConnectedComponents.createBlocks(buildings, grid, 10)
+    // group membership must match block_build_corr exactly (block ids are
+    // minted independently, so compare the partition of building ids)
+    val got = blocks.select("id_builds").as[Seq[Int]].collect()
+      .map(_.toSet).toSet
+    val expected = GeoFixture.blockBuildCorr.groupBy(_._1).values
+      .map(_.map(_._2).toSet).toSet
+    assert(got == expected)
+  }
+
+  test("createBlocks geometry: block of buildings 4,5,8 equals fixture block 4 polygon") {
+    import spark.implicits._
+    val grid = CellGrid.fixture
+    val buildings = GeoFixture.buildingDf(spark).where(col("id_build").isin(4, 5, 8))
+    val blocks = ConnectedComponents.createBlocks(buildings, grid, 10)
+    assert(blocks.count() == 1)
+    val wkb = blocks.select("the_geom").head().getAs[Array[Byte]](0)
+    val got = graft.geom.Geo.fromWkb(wkb)
+    val expected = graft.geom.Geo.fromWkt(GeoFixture.blocks.find(_._1 == 4).get._2)
+    assert(got.symDifference(expected).getArea < 1e-9)
+  }
+}
