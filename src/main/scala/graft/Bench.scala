@@ -1,24 +1,108 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fixtures.GeoFixture
+import graft.index.CellGrid
+import graft.lake.Pages
+import graft.operators.{SpatialJoin, Tiling}
+
+/**
+ * Benchmark main (driver contract): per-query timings on
+ * `SPARK_GRAFT_SF_DIR`, plus the north-rule scaling evidence — the flagship
+ * spatial-join + tile-assignment job run at two parallelism levels
+ * (local[8] = N and local[32] = 4N; no real cluster in this sandbox, see
+ * BASELINE.md) on the SAME synthesized pages input, reporting rows/sec at
+ * both and the scaling efficiency (target >= 0.8, BASELINE.json).
+ *
+ * Prints exactly ONE JSON line.
+ */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /**
+   * The north-rule flagship: synthesize Common-Crawl-style pages (pure
+   * Catalyst, no external data), geocode, cell-equijoin point-in-polygon
+   * against the Geoclimate fixture RSU polygons (broadcast cover), then
+   * tile-assign + per-tile aggregation. Input rows/sec of one measured run.
+   */
+  private def flagship(s: SparkSession, nRows: Long, parts: Int): DataFrame = {
+    val grid = CellGrid.fixture
+    val pages = Pages.geocode(Pages.synth(s, nRows, parts))
+    val rsu = GeoFixture.rsuDf(s).select(col("id_rsu"), col("the_geom"))
+    SpatialJoin.pointInPolygon(pages, "x", "y", rsu, "the_geom", grid, 10)
+      .groupBy(col("id_rsu"),
+        Tiling.tileCol(col("x"), 0.0, 10.0).as("id_col"),
+        Tiling.tileRow(col("y"), 0.0, 10.0).as("id_row"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  private def timeRowsPerSec(s: SparkSession, nRows: Long, parts: Int): Double = {
+    val t0 = System.nanoTime()
+    flagship(s, nRows, parts).agg(sum("cnt")).head()
+    nRows.toDouble / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  private def scalingRun(cores: Int, nRows: Long): Double = {
+    val s = session(cores)
+    try {
+      timeRowsPerSec(s, nRows / 16, 64)          // warm-up: JIT + codegen
+      Seq.fill(2)(timeRowsPerSec(s, nRows, 64)).max
+    } finally s.stop()
+  }
+
+  /** Best-of-`reps` at each level, interleaved 4N/N so host noise (this
+    * sandbox shows 10-20% steal time in bursts) cannot bias one level:
+    * noise only ever slows a run down, so max-over-reps estimates capability. */
+  private def scalingPair(nRows: Long, reps: Int): (Double, Double) = {
+    val pairs = (1 to reps).map { _ => (scalingRun(32, nRows), scalingRun(8, nRows)) }
+    (pairs.map(_._1).max, pairs.map(_._2).max)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "40000000").toLong
+    val scalingOnly = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("scaling")
+
+    if (scalingOnly) {
+      val (rps4n, rpsN) = scalingPair(scaleRows, reps = 3)
+      println(f"""{"rows":$scaleRows,"rows_per_sec_n":$rpsN%.0f,"rows_per_sec_4n":$rps4n%.0f,"efficiency":${(rps4n / rpsN) / 4.0}%.3f}""")
+      return
+    }
+
+    // -- per-query timings at full parallelism -----------------------------
+    val s32 = session(32)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try { fn(s32, sfDir).count() } catch { case _: Throwable => () } // warm
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(s32, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    s32.stop()
+
+    // -- flagship scaling evidence: interleaved best-of-3 at 4N and N ------
+    val (rps4n, rpsN) = scalingPair(scaleRows, reps = 3)
+    val efficiency = (rps4n / rpsN) / 4.0
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = results.map(_._2).sum
+    val scaling = s"""{"cores_n":8,"cores_4n":32,"rows":$scaleRows,""" +
+      f""""rows_per_sec_n":$rpsN%.0f,"rows_per_sec_4n":$rps4n%.0f,""" +
+      f""""efficiency":$efficiency%.3f}"""
+    println(s"""{"metric":"spatial_join_tile_assign_rows_per_sec","value":${f"$rps4n%.0f"},""" +
+      s""""unit":"rows/sec","queries":$qs,"sf":"$sfDir",""" +
+      f""""total_query_sec":$total%.3f,"scaling":$scaling}""")
   }
 }

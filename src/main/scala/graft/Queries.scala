@@ -50,7 +50,7 @@ object Queries {
   /** Fixture RSU rectangles as (id_rsu, xmin, ymin, xmax, ymax) SQL VALUES —
     * every rsu_test geometry is axis-aligned, so the oracle can express
     * point-in-polygon / overlap with plain arithmetic. */
-  private val rsuRectsSql =
+  private[graft] val rsuRectsSql =
     """rsu(id_rsu, xmin, ymin, xmax, ymax) AS (VALUES
       | (1, 0.0, 0.0, 50.0, 40.0), (2, 50.0, 0.0, 55.0, 30.0), (3, 0.0, -15.0, 25.0, 0.0),
       | (4, 1000.0, 1000.0, 1100.0, 1100.0), (5, 1100.0, 1000.0, 1200.0, 1100.0),

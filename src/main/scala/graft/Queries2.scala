@@ -1,0 +1,620 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geom.{GeoFunctions => G}
+import graft.index.CellGrid
+import graft.indicators.{BlockIndicators, BuildingIndicators, GenericIndicators, GridIndicators, Lcz, RsuIndicators}
+import graft.lake.Pages
+import graft.operators.{Dedup, Multimodal, Similarity, SpatialJoin, TextAnalysis, Tiling}
+import graft.fixtures.GeoFixture
+
+/**
+ * Second driver-verified query batch: the remaining SURVEY.md §2 operator
+ * families (building neighbors/spacing/likelihood, weighted + type-proportion
+ * + distribution-characterization aggregates, block compactness, RSU facade /
+ * street / road-direction / roof-distribution indicators, grid LOD pyramid /
+ * 8-neighbor / sliding window, LCZ classification on the reference fixture,
+ * max-overlap tile assignment on the reference fixture, and the pages
+ * end-to-end flagship that verifies the byte-identical-text invariant through
+ * the DuckDB oracle).
+ *
+ * Oracle-exactness rules are the same as Queries.scala: synthetic layers are
+ * axis-aligned integer-coordinate rectangles so every JTS measure is
+ * recomputable with plain SQL arithmetic; doubles that pass through
+ * order-dependent SUMs are rounded (9 decimals) on both sides.
+ */
+object Queries2 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val grid = CellGrid.fixture
+  private val Res = 10
+
+  // ---- synthetic non-overlapping building layer ---------------------------
+  // Building i sits in its own 5x5 cell (col = i%40, row = i/40) with size
+  // w,h in [2,5]; w=5 / h=5 makes it TOUCH the next cell's building, so the
+  // intersects self-join has real neighbor structure but zero area overlaps
+  // (shared walls are 1-D segments — exactly the reference fixture's shape).
+  private def rectLayer(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id").as("id_build"),
+      (col("doc_id") % 40 * 5).cast("double").as("x0"),
+      (floor(col("doc_id") / 40) * 5).cast("double").as("y0"),
+      (col("doc_id") % 4 + 2).cast("double").as("w"),
+      (floor(col("doc_id") / 4) % 4 + 2).cast("double").as("h"),
+      (col("doc_id") % 10 + 3).cast("double").as("height_wall"),
+      (col("doc_id") % 10 + 3 + col("doc_id") % 4).cast("double").as("height_roof"),
+      (col("doc_id") % 3 + 1).cast("int").as("nb_lev"),
+      when(col("doc_id") % 3 === 0, "residential")
+        .when(col("doc_id") % 3 === 1, "commercial")
+        .otherwise("industrial").as("type"))
+      .withColumn("the_geom",
+        G.stMakeBox(col("x0"), col("y0"), col("x0") + col("w"), col("y0") + col("h")))
+
+  private val rectsSql =
+    """rects AS (SELECT doc_id AS id_build,
+      |  CAST(doc_id % 40 * 5 AS DOUBLE) AS x0, CAST((doc_id // 40) * 5 AS DOUBLE) AS y0,
+      |  CAST(doc_id % 4 + 2 AS DOUBLE) AS w, CAST((doc_id // 4) % 4 + 2 AS DOUBLE) AS h,
+      |  CAST(doc_id % 10 + 3 AS DOUBLE) AS hw,
+      |  CAST(doc_id % 10 + 3 + doc_id % 4 AS DOUBLE) AS hr,
+      |  doc_id % 3 + 1 AS lev,
+      |  CASE doc_id % 3 WHEN 0 THEN 'residential' WHEN 1 THEN 'commercial' ELSE 'industrial' END AS type,
+      |  doc_id // 10 AS id_blk, doc_id % 20 AS id_zone
+      |FROM documents)""".stripMargin
+
+  /** Intersecting (touching) ordered pairs + per-building contiguity CTEs.
+    * Touch intersection of two non-overlapping rectangles is a segment in
+    * exactly one axis (or a corner point, length 0). */
+  private val pairsSql =
+    """pairs AS (SELECT a.id_build AS ia, b.id_build AS ib,
+      |    a.w AS wa, a.h AS ha, a.hw AS hwa, b.hw AS hwb,
+      |    greatest(0.0, least(a.x0 + a.w, b.x0 + b.w) - greatest(a.x0, b.x0)) AS xov,
+      |    greatest(0.0, least(a.y0 + a.h, b.y0 + b.h) - greatest(a.y0, b.y0)) AS yov
+      |  FROM rects a JOIN rects b ON a.id_build <> b.id_build
+      |    AND a.x0 <= b.x0 + b.w AND b.x0 <= a.x0 + a.w
+      |    AND a.y0 <= b.y0 + b.h AND b.y0 <= a.y0 + a.h),
+      |shared AS (SELECT ia, ib, wa, ha, hwa, hwb,
+      |    CASE WHEN xov > 0 AND yov = 0 THEN xov
+      |         WHEN yov > 0 AND xov = 0 THEN yov ELSE 0.0 END AS slen
+      |  FROM pairs),
+      |nb AS (SELECT ia AS id_build,
+      |    sum(least(hwa, hwb) * slen / ((2*(wa+ha)) * hwa)) AS contiguity,
+      |    sum(slen / (2*(wa+ha))) AS cwf,
+      |    count(*) AS nbn
+      |  FROM shared GROUP BY 1),
+      |contig AS (SELECT r.id_build, coalesce(nb.contiguity, 0.0) AS contiguity,
+      |    coalesce(nb.cwf, 0.0) AS cwf, coalesce(nb.nbn, 0) AS nbn
+      |  FROM rects r LEFT JOIN nb ON r.id_build = nb.id_build)""".stripMargin
+
+  /** 3x3 grid of 50x50 zones over [0,150)² as (id, zx, zy) SQL. */
+  private val zones9Sql =
+    """z9 AS (SELECT CAST(range AS BIGINT) AS idz,
+      |  CAST(range % 3 AS DOUBLE) * 50 AS zx, CAST(range // 3 AS DOUBLE) * 50 AS zy
+      |FROM range(0, 9))""".stripMargin
+
+  /** Small rectangles scattered over [0,150)² (cross zone boundaries). */
+  private def scatterRects(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id").as("id_build"),
+      (col("doc_id") * 7 % 140).cast("double").as("bx"),
+      (col("doc_id") * 13 % 140).cast("double").as("by"),
+      (col("doc_id") % 6 + 2).cast("double").as("bw"),
+      (col("doc_id") * 3 % 6 + 2).cast("double").as("bh"),
+      (col("doc_id") % 20 + 1).cast("double").as("height_roof"),
+      when(col("doc_id") % 2 === 0, "low").otherwise("high").as("cls"))
+      .withColumn("the_geom",
+        G.stMakeBox(col("bx"), col("by"), col("bx") + col("bw"), col("by") + col("bh")))
+
+  private val scatterSql =
+    """sc AS (SELECT doc_id AS id_build,
+      |  CAST(doc_id * 7 % 140 AS DOUBLE) AS bx, CAST(doc_id * 13 % 140 AS DOUBLE) AS by,
+      |  CAST(doc_id % 6 + 2 AS DOUBLE) AS bw, CAST(doc_id * 3 % 6 + 2 AS DOUBLE) AS bh,
+      |  CAST(doc_id % 20 + 1 AS DOUBLE) AS hr,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'low' ELSE 'high' END AS cls
+      |FROM documents)""".stripMargin
+
+  // ---- grid cells for the grid indicators ---------------------------------
+  private val LczVals = Array(1, 2, 6, 8, 101, 104, 107)
+  private def gridCells(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      (col("doc_id") % 25 + 1).as("id_row"),
+      (floor(col("doc_id") / 25).cast("long") + 1).as("id_col"),
+      element_at(lit(LczVals), (col("doc_id") % 7 + 1).cast("int")).as("lcz"))
+
+  private val gridCellsSql =
+    """cells AS (SELECT doc_id % 25 + 1 AS id_row, doc_id // 25 + 1 AS id_col,
+      |  CAST([1,2,6,8,101,104,107][CAST(doc_id % 7 + 1 AS INT)] AS INTEGER) AS lcz
+      |FROM documents)""".stripMargin
+
+  // =========================================================================
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- building x building touches: contiguity / common wall / neighbors
+    //    (BuildingIndicators.groovy:129-206) --------------------------------
+    "bld_neighbors" -> ((s, dir) => {
+      BuildingIndicators.neighborsProperties(rectLayer(s, dir), grid, Res)
+        .select(col("id_build"),
+          round(col("contiguity"), 9).as("contiguity"),
+          round(col("common_wall_fraction"), 9).as("common_wall_fraction"),
+          col("number_building_neighbor"))
+        .orderBy("id_build")
+    }),
+
+    // -- bounded min building spacing with self-exclusion
+    //    (BuildingIndicators.groovy:300-352) --------------------------------
+    "bld_spacing" -> ((s, dir) => {
+      BuildingIndicators.minimumBuildingSpacing(rectLayer(s, dir), 12.0, grid, Res)
+        .select(col("id_build"),
+          round(col("minimum_building_spacing"), 3).as("minimum_building_spacing"))
+        .orderBy("id_build")
+    }),
+
+    // -- logistic likelihood-of-large-building (BuildingIndicators.groovy:455-495) --
+    "bld_likelihood" -> ((s, dir) => {
+      val rects = rectLayer(s, dir)
+      val nb = BuildingIndicators.neighborsProperties(rects, grid, Res)
+        .select("id_build", "number_building_neighbor")
+      BuildingIndicators.likelihoodLargeBuilding(rects.join(nb, "id_build"))
+        .select(col("id_build"),
+          round(col("likelihood_large_building"), 6).as("likelihood_large_building"))
+        .orderBy("id_build")
+    }),
+
+    // -- weighted mean + weighted std per zone (GenericIndicators.groovy:148-212) --
+    "agg_weighted" -> ((s, dir) => {
+      val lower = t(s, dir, "documents").select(
+        (col("doc_id") % 20).as("id_zone"),
+        col("n_chars").cast("double").as("nc"),
+        (col("doc_id") % 5 + 1).cast("double").as("wt"))
+      val upper = s.range(0, 25).toDF("id_zone")
+      GenericIndicators.weightedAggregatedStatistics(lower, upper, "id_zone", Seq(("nc", "wt")))
+        .select(col("id_zone"),
+          round(col("avg_nc_wt_weighted"), 6).as("avg_nc_wt_weighted"),
+          round(col("std_nc_wt_weighted"), 6).as("std_nc_wt_weighted"))
+        .orderBy("id_zone")
+    }),
+
+    // -- per-type area + floor-area fractions (GenericIndicators.groovy:697-800) --
+    "agg_type_prop" -> ((s, dir) => {
+      val lower = rectLayer(s, dir).withColumn("id_zone", col("id_build") % 20)
+      val upper = s.range(0, 25).toDF("id_zone")
+      GenericIndicators.typeProportion(lower, upper, "id_zone", "type",
+        areaTypes = Map("residential" -> Seq("residential"),
+          "industrial" -> Seq("industrial", "commercial")),
+        floorAreaTypes = Map("residential" -> Seq("residential")))
+        .select(col("id_zone"),
+          round(col("area_fraction_residential"), 9).as("area_fraction_residential"),
+          round(col("area_fraction_industrial"), 9).as("area_fraction_industrial"),
+          round(col("floor_area_fraction_residential"), 9).as("floor_area_fraction_residential"))
+        .orderBy("id_zone")
+    }),
+
+    // -- distribution characterization: Perkins Skill Score / uniqueness /
+    //    extremum over an array (GenericIndicators.groovy:448-646) ----------
+    "distribution_char" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        array((col("doc_id") % 7).cast("double"),
+          (col("doc_id") * 3 % 11).cast("double"),
+          (col("doc_id") * 5 % 13).cast("double"),
+          (col("doc_id") * 7 % 17).cast("double")).as("dist"))
+      GenericIndicators.distributionCharacterization(d, "dist", "doc_id")
+        .select(col("doc_id"),
+          round(col("equality_value"), 9).as("equality_value"),
+          round(col("uniqueness_value"), 9).as("uniqueness_value"),
+          col("extremum_index"))
+        .orderBy("doc_id")
+    }),
+
+    // -- block net compactness from contiguity + volume (BlockIndicators.groovy:87-122) --
+    "block_compactness" -> ((s, dir) => {
+      val rects = rectLayer(s, dir)
+      val nb = BuildingIndicators.neighborsProperties(rects, grid, Res)
+        .select("id_build", "contiguity")
+      val b = rects.join(nb, "id_build")
+        .withColumn("volume", col("w") * col("h") * 0.5 * (col("height_wall") + col("height_roof")))
+        .withColumn("id_block", floor(col("id_build") / 10).cast("long"))
+      BlockIndicators.netCompactness(b)
+        .select(col("id_block"), round(col("net_compactness"), 9).as("net_compactness"))
+        .orderBy("id_block")
+    }),
+
+    // -- RSU facade density -> aspect ratio -> street width -> building
+    //    surface density chain (RsuIndicators.groovy:53-86, 383-404,
+    //    2647-2667, 1890-1916) ----------------------------------------------
+    "rsu_facade_street" -> ((s, dir) => {
+      import GenericIndicators._
+      val rects = rectLayer(s, dir).withColumn("id_rsu", floor(col("id_build") / 10).cast("long"))
+      val nb = BuildingIndicators.neighborsProperties(rectLayer(s, dir), grid, Res)
+        .select("id_build", "contiguity")
+      val b = rects.join(nb, "id_build")
+        .withColumn("total_facade_length", (col("w") + col("h")) * 2)
+        .withColumn("barea", col("w") * col("h"))
+      val zones = rects.select("id_rsu").distinct()
+        .withColumn("the_geom", G.stMakeBox(lit(0.0), lit(0.0),
+          lit(10.0) + col("id_rsu") % 7, lit(10.0) + col("id_rsu") % 3))
+      val ffd = RsuIndicators.freeExternalFacadeDensity(b, zones)
+      val dens = unweightedOperationFromLowerScale(
+        b.select(col("id_rsu"), col("barea"), col("height_roof"), col("id_build")),
+        zones, "id_rsu", "id_build",
+        Map("barea" -> Seq(OpDens), "height_roof" -> Seq(OpAvg)))
+      val zi = ffd.join(dens, "id_rsu")
+      val ar = RsuIndicators.aspectRatio(zi, "free_external_facade_density", "barea_density")
+      val withAr = zi.join(ar, "id_rsu")
+      val sw = RsuIndicators.streetWidth(withAr, "avg_height_roof", "aspect_ratio")
+      val bsd = RsuIndicators.buildingSurfaceDensity(zi, "barea_density", "free_external_facade_density")
+      withAr.join(sw, "id_rsu").join(bsd, "id_rsu")
+        .select(col("id_rsu"),
+          round(col("free_external_facade_density"), 9).as("free_external_facade_density"),
+          round(col("aspect_ratio"), 9).as("aspect_ratio"),
+          round(col("street_width"), 9).as("street_width"),
+          round(col("building_surface_density"), 9).as("building_surface_density"))
+        .orderBy("id_rsu")
+    }),
+
+    // -- road clip + direction buckets + length density per RSU
+    //    (RsuIndicators.groovy:1060-1227) -----------------------------------
+    "rsu_road_density" -> ((s, dir) => {
+      val zones = Tiling.makeGrid(s, 0, 0, 150, 150, 50, 50)
+        .select(col("id_grid").as("id_rsu"), col("the_geom"))
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") * 11 % 150).cast("double").as("rx"),
+        (col("doc_id") * 17 % 150).cast("double").as("ry"),
+        (col("doc_id") % 20 + 5).cast("double").as("len"))
+      val wkt = when(col("doc_id") % 2 === 0,
+        concat(lit("LINESTRING("), col("rx"), lit(" "), col("ry"), lit(", "),
+          col("rx") + col("len"), lit(" "), col("ry"), lit(")")))
+        .otherwise(
+          concat(lit("LINESTRING("), col("rx"), lit(" "), col("ry"), lit(", "),
+            col("rx"), lit(" "), col("ry") + col("len"), lit(")")))
+      val roads = d.withColumn("the_geom", G.stGeomFromWkt(wkt))
+      RsuIndicators.linearRoadOperations(zones, roads, angleRange = 90, grid, Res)
+        .select(col("id_rsu"),
+          round(col("road_direction_distribution_d0_90"), 9).as("road_direction_distribution_d0_90"),
+          round(col("road_direction_distribution_d90_180"), 9).as("road_direction_distribution_d90_180"),
+          round(col("linear_road_density"), 9).as("linear_road_density"))
+        .orderBy("id_rsu")
+    }),
+
+    // -- roof area fractions per height layer, buildings clipped to RSUs,
+    //    all layers fused in one aggregate (RsuIndicators.groovy:1938-2063) --
+    "rsu_roof_fractions" -> ((s, dir) => {
+      val zones = Tiling.makeGrid(s, 0, 0, 150, 150, 50, 50)
+        .select(col("id_grid").as("id_rsu"), col("the_geom"))
+      RsuIndicators.roofFractionDistributionExact(zones, scatterRects(s, dir),
+        Seq((0.0, 5.0), (5.0, 12.0), (12.0, 50.0)), grid, Res)
+        .select(col("id_rsu"),
+          round(col("roof_fraction_distribution_h0_5"), 9).as("roof_fraction_distribution_h0_5"),
+          round(col("roof_fraction_distribution_h5_12"), 9).as("roof_fraction_distribution_h5_12"),
+          round(col("roof_fraction_distribution_h12_50"), 9).as("roof_fraction_distribution_h12_50"))
+        .orderBy("id_rsu")
+    }),
+
+    // -- pivoted zonal area fractions by class (raster<->vector zonal agg —
+    //    GenericIndicators.groovy:997-1124) ---------------------------------
+    "geo_zonal_frac" -> ((s, dir) => {
+      val zones = Tiling.makeGrid(s, 0, 0, 150, 150, 50, 50)
+        .select(col("id_grid").as("id_zone"), col("the_geom"))
+      val veg = scatterRects(s, dir).select(col("the_geom").as("vgeom"), col("cls"))
+      Tiling.zonalAreaStats(zones, "id_zone", "the_geom", veg, "vgeom", "cls",
+        Seq("low", "high"), grid, Res)
+        .select(col("id_zone"),
+          round(col("area_fraction_low"), 9).as("area_fraction_low"),
+          round(col("area_fraction_high"), 9).as("area_fraction_high"))
+        .orderBy("id_zone")
+    }),
+
+    // -- grid LOD pyramid: weighted mode with count/weight tiebreak
+    //    (GridIndicators.groovy:126-280) ------------------------------------
+    "grid_lod_mode" -> ((s, dir) => {
+      GridIndicators.lodMode(gridCells(s, dir), "lcz",
+        Map(1 -> 5, 2 -> 4, 6 -> 3, 8 -> 2, 104 -> 1, 101 -> 0, 107 -> 0), level = 1)
+        .orderBy("lod_row", "lod_col")
+    }),
+
+    // -- grid 8-neighbor aggregate (GridIndicators.groovy:238-254) ----------
+    "grid_neighbors" -> ((s, dir) => {
+      GridIndicators.neighborStats(gridCells(s, dir), "lcz")
+        .orderBy("id_row", "id_col")
+    }),
+
+    // -- grid sliding-window warm-LCZ count (GridIndicators.groovy:450-496) --
+    "grid_sliding_warm" -> ((s, dir) => {
+      GridIndicators.slidingWindowCount(gridCells(s, dir),
+        col("lcz").isin(1, 2, 8), size = 2, outCol = "warm_count")
+        .orderBy("id_row", "id_col")
+    }),
+
+    // -- LCZ classification on the reference fixture; oracle = the reference
+    //    test suite's own golden classes (identifyLczTypeTest) --------------
+    "lcz_classify" -> ((s, dir) => {
+      Lcz.identifyLczType(GeoFixture.lczIndicsDf(s), GeoFixture.rsuAllIndicsLczDf(s))
+        .where(col("id_rsu").isin(1, 2, 3, 4, 5, 6, 7, 18, 19, 20))
+        .select(col("id_rsu"), col("lcz_primary"))
+        .orderBy("id_rsu")
+    }),
+
+    // -- max-overlap tile assignment on the reference fixture; oracle = the
+    //    reference's block_build_corr table (data_for_tests.sql:80-81) ------
+    "fixture_block_assign" -> ((s, dir) => {
+      val ids = GeoFixture.blockBuildCorr.map(_._2)
+      val b = GeoFixture.buildingDf(s).select(col("id_build"), col("the_geom"))
+        .where(col("id_build").isin(ids: _*))
+      SpatialJoin.assignMaxOverlap(b, "id_build", "the_geom",
+        GeoFixture.blockDf(s), "id_block", "the_geom", grid, Res)
+        .orderBy("id_build")
+    }),
+
+    // -- the pages end-to-end flagship: synth -> html text extraction
+    //    (byte-identity verified via n_text_ok == cnt in the oracle) ->
+    //    geocode -> cell-equijoin PIP -> tile assignment -> per-tile agg ----
+    "pages_e2e" -> ((s, dir) => {
+      val pages = Pages.synth(s, 20000)
+        .withColumn("text_ok", (Pages.extractText(col("html")) === col("text")).cast("long"))
+      val geo = Pages.geocode(pages)
+      val rsu = GeoFixture.rsuDf(s).select("id_rsu", "the_geom")
+      SpatialJoin.pointInPolygon(geo, "x", "y", rsu, "the_geom", grid, Res)
+        .groupBy(col("id_rsu").cast("long").as("id_rsu"),
+          Tiling.tileCol(col("x"), 0.0, 10.0).as("id_col"),
+          Tiling.tileRow(col("y"), 0.0, 10.0).as("id_row"))
+        .agg(count(lit(1)).as("cnt"), sum(col("text_ok")).as("n_text_ok"),
+          sum(length(col("text"))).as("sum_text_len"))
+        .orderBy("id_rsu", "id_col", "id_row")
+    }),
+
+    // ====================== rows-only checks (no SQL oracle) ===============
+    // MinHash+LSH near-dup pairs (banded signature equi-join + exact verify);
+    // xxhash64 has no DuckDB equivalent, so the driver records rows-only.
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup pairs (16-bit chunk candidates + Hamming verify).
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // IVF approximate nearest neighbors (bucketed scan path).
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id").isin(1L, 7L, 42L, 99L, 123L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, "vec_id", "embedding", queries, k = 10,
+        numCentroids = 8, nProbe = 3)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"))
+        .orderBy("qid", "rank")
+    }),
+
+    // Multimodal feature extraction (stub codec; real batching/schema).
+    "multimodal_feats" -> ((s, dir) => {
+      Multimodal.extractFeatures(Multimodal.synthMedia(s, 500), dim = 8)
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("kind"),
+          round(aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double")), 4)
+            .as("feat_sum"))
+        .orderBy("media_id")
+    }),
+
+    // Order-sensitive rolling document fingerprint.
+    "text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }))
+
+  // =========================================================================
+  val oracles: Map[String, String] = Map(
+    "bld_neighbors" ->
+      s"""WITH $rectsSql, $pairsSql
+        |SELECT id_build, round(contiguity, 9) AS contiguity,
+        |  round(cwf, 9) AS common_wall_fraction,
+        |  nbn AS number_building_neighbor
+        |FROM contig ORDER BY id_build""".stripMargin,
+    "bld_spacing" ->
+      s"""WITH $rectsSql,
+        |d AS (SELECT a.id_build,
+        |    sqrt(power(greatest(b.x0 - (a.x0 + a.w), a.x0 - (b.x0 + b.w), 0.0), 2)
+        |       + power(greatest(b.y0 - (a.y0 + a.h), a.y0 - (b.y0 + b.h), 0.0), 2)) AS dist
+        |  FROM rects a JOIN rects b ON a.id_build <> b.id_build),
+        |m AS (SELECT id_build, min(dist) AS md FROM d WHERE dist <= 12.0 GROUP BY 1)
+        |SELECT r.id_build, round(coalesce(m.md, 12.0), 3) AS minimum_building_spacing
+        |FROM rects r LEFT JOIN m ON r.id_build = m.id_build ORDER BY r.id_build""".stripMargin,
+    "bld_likelihood" ->
+      s"""WITH $rectsSql, $pairsSql
+        |SELECT id_build,
+        |  round(CASE WHEN c.nbn > 0 THEN 0.0
+        |    ELSE 1.0 / (1.0 + exp(6.5) * exp(-0.25 * sqrt(r.w*r.w + r.h*r.h))) END, 6)
+        |    AS likelihood_large_building
+        |FROM contig c JOIN rects r USING (id_build) ORDER BY id_build""".stripMargin,
+    "agg_weighted" ->
+      """WITH z AS (SELECT CAST(range AS BIGINT) AS id_zone FROM range(0, 25)),
+        |l AS (SELECT doc_id % 20 AS id_zone, CAST(n_chars AS DOUBLE) AS v,
+        |    CAST(doc_id % 5 + 1 AS DOUBLE) AS wt FROM documents),
+        |g AS (SELECT id_zone, sum(v * wt) AS sw, sum(v * v * wt) AS sww, sum(wt) AS sumw
+        |  FROM l GROUP BY 1)
+        |SELECT z.id_zone,
+        |  round(CASE WHEN g.sumw IS NULL OR g.sumw = 0 THEN 0.0 ELSE g.sw / g.sumw END, 6)
+        |    AS avg_nc_wt_weighted,
+        |  round(CASE WHEN g.sumw IS NULL OR g.sumw = 0 THEN 0.0
+        |    ELSE sqrt(greatest(g.sww / g.sumw - (g.sw / g.sumw) * (g.sw / g.sumw), 0.0)) END, 6)
+        |    AS std_nc_wt_weighted
+        |FROM z LEFT JOIN g ON z.id_zone = g.id_zone ORDER BY z.id_zone""".stripMargin,
+    "agg_type_prop" ->
+      s"""WITH $rectsSql,
+        |z AS (SELECT CAST(range AS BIGINT) AS id_zone FROM range(0, 25)),
+        |g AS (SELECT id_zone, sum(w * h) AS area,
+        |    sum(CASE WHEN type = 'residential' THEN w * h ELSE NULL END) AS a_res,
+        |    sum(CASE WHEN type IN ('industrial', 'commercial') THEN w * h ELSE NULL END) AS a_ind,
+        |    sum(w * h * lev) AS farea,
+        |    sum(CASE WHEN type = 'residential' THEN w * h * lev ELSE NULL END) AS f_res
+        |  FROM rects GROUP BY 1)
+        |SELECT z.id_zone,
+        |  round(CASE WHEN g.area IS NULL OR g.area = 0 THEN 0.0
+        |    ELSE coalesce(g.a_res / g.area, 0.0) END, 9) AS area_fraction_residential,
+        |  round(CASE WHEN g.area IS NULL OR g.area = 0 THEN 0.0
+        |    ELSE coalesce(g.a_ind / g.area, 0.0) END, 9) AS area_fraction_industrial,
+        |  round(CASE WHEN g.farea IS NULL OR g.farea = 0 THEN 0.0
+        |    ELSE coalesce(g.f_res / g.farea, 0.0) END, 9) AS floor_area_fraction_residential
+        |FROM z LEFT JOIN g ON z.id_zone = g.id_zone ORDER BY z.id_zone""".stripMargin,
+    "distribution_char" ->
+      """WITH v AS (SELECT doc_id,
+        |    CAST(doc_id % 7 AS DOUBLE) AS a, CAST(doc_id * 3 % 11 AS DOUBLE) AS b,
+        |    CAST(doc_id * 5 % 13 AS DOUBLE) AS c, CAST(doc_id * 7 % 17 AS DOUBLE) AS d
+        |  FROM documents),
+        |m AS (SELECT doc_id, a, b, c, d, a + b + c + d AS tot,
+        |    greatest(a, b, c, d) AS x1,
+        |    greatest(least(a,b), least(a,c), least(a,d), least(b,c), least(b,d), least(c,d)) AS x2
+        |  FROM v)
+        |SELECT doc_id,
+        |  round(CASE WHEN tot = 0 THEN NULL
+        |    ELSE (least(a, tot/4) + least(b, tot/4) + least(c, tot/4) + least(d, tot/4)) / tot
+        |    END, 9) AS equality_value,
+        |  round(CASE WHEN x1 + x2 = 0 THEN 0.0 ELSE abs(x1 - x2) / (x1 + x2) END, 9)
+        |    AS uniqueness_value,
+        |  CAST(CASE WHEN a >= b AND a >= c AND a >= d THEN 1
+        |    WHEN b >= c AND b >= d THEN 2 WHEN c >= d THEN 3 ELSE 4 END AS INTEGER)
+        |    AS extremum_index
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "block_compactness" ->
+      s"""WITH $rectsSql, $pairsSql
+        |SELECT r.id_blk AS id_block,
+        |  round(sum(c.contiguity * (2*(r.w + r.h)) * r.hw)
+        |      / power(sum(r.w * r.h * 0.5 * (r.hw + r.hr)), 2.0/3.0), 9) AS net_compactness
+        |FROM contig c JOIN rects r USING (id_build)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rsu_facade_street" ->
+      s"""WITH $rectsSql, $pairsSql,
+        |za AS (SELECT DISTINCT id_build // 10 AS id_rsu FROM rects),
+        |zb AS (SELECT id_rsu, (10.0 + id_rsu % 7) * (10.0 + id_rsu % 3) AS zarea FROM za),
+        |f AS (SELECT r.id_build // 10 AS id_rsu,
+        |    sum((1.0 - c.contiguity) * (2*(r.w + r.h)) * r.hw) AS s,
+        |    sum(r.w * r.h) AS ba, avg(r.hr) AS ahr
+        |  FROM contig c JOIN rects r USING (id_build) GROUP BY 1)
+        |SELECT zb.id_rsu,
+        |  round(f.s / zb.zarea, 9) AS free_external_facade_density,
+        |  round(CASE WHEN f.ba = zb.zarea THEN NULL
+        |    ELSE 0.5 * (f.s / zb.zarea) / (1.0 - f.ba / zb.zarea) END, 9) AS aspect_ratio,
+        |  round(CASE WHEN f.ba = zb.zarea THEN NULL
+        |    ELSE f.ahr / (0.5 * (f.s / zb.zarea) / (1.0 - f.ba / zb.zarea)) END, 9) AS street_width,
+        |  round(f.ba / zb.zarea + f.s / zb.zarea, 9) AS building_surface_density
+        |FROM zb JOIN f USING (id_rsu) ORDER BY id_rsu""".stripMargin,
+    "rsu_road_density" ->
+      s"""WITH $zones9Sql,
+        |roads AS (SELECT doc_id,
+        |    CAST(doc_id * 11 % 150 AS DOUBLE) AS rx, CAST(doc_id * 17 % 150 AS DOUBLE) AS ry,
+        |    CAST(doc_id % 20 + 5 AS DOUBLE) AS len, doc_id % 2 AS vert
+        |  FROM documents),
+        |clips AS (SELECT z.idz, r.vert,
+        |    CASE WHEN r.vert = 0 THEN
+        |      (CASE WHEN r.ry >= z.zy AND r.ry <= z.zy + 50
+        |        THEN greatest(0.0, least(r.rx + r.len, z.zx + 50) - greatest(r.rx, z.zx)) ELSE 0.0 END)
+        |    ELSE
+        |      (CASE WHEN r.rx >= z.zx AND r.rx <= z.zx + 50
+        |        THEN greatest(0.0, least(r.ry + r.len, z.zy + 50) - greatest(r.ry, z.zy)) ELSE 0.0 END)
+        |    END AS clen
+        |  FROM z9 z CROSS JOIN roads r),
+        |agg AS (SELECT idz, sum(CASE WHEN vert = 1 THEN clen ELSE 0.0 END) AS d0,
+        |    sum(CASE WHEN vert = 0 THEN clen ELSE 0.0 END) AS d90
+        |  FROM clips GROUP BY 1)
+        |SELECT z.idz AS id_rsu,
+        |  round(coalesce(a.d0, 0.0), 9) AS road_direction_distribution_d0_90,
+        |  round(coalesce(a.d90, 0.0), 9) AS road_direction_distribution_d90_180,
+        |  round((coalesce(a.d0, 0.0) + coalesce(a.d90, 0.0)) / 2500.0, 9) AS linear_road_density
+        |FROM z9 z LEFT JOIN agg a ON z.idz = a.idz ORDER BY id_rsu""".stripMargin,
+    "rsu_roof_fractions" ->
+      s"""WITH $scatterSql, $zones9Sql,
+        |ov AS (SELECT z.idz, sc.hr,
+        |      greatest(0.0, least(sc.bx + sc.bw, z.zx + 50) - greatest(sc.bx, z.zx))
+        |    * greatest(0.0, least(sc.by + sc.bh, z.zy + 50) - greatest(sc.by, z.zy)) AS a
+        |  FROM z9 z CROSS JOIN sc),
+        |g AS (SELECT idz,
+        |    sum(CASE WHEN hr >= 0 AND hr < 5 THEN a ELSE 0.0 END) AS l0,
+        |    sum(CASE WHEN hr >= 5 AND hr < 12 THEN a ELSE 0.0 END) AS l1,
+        |    sum(CASE WHEN hr >= 12 AND hr < 50 THEN a ELSE 0.0 END) AS l2,
+        |    sum(a) AS tot
+        |  FROM ov GROUP BY 1)
+        |SELECT z.idz AS id_rsu,
+        |  round(coalesce(g.l0 / nullif(g.tot, 0.0), 0.0), 9) AS roof_fraction_distribution_h0_5,
+        |  round(coalesce(g.l1 / nullif(g.tot, 0.0), 0.0), 9) AS roof_fraction_distribution_h5_12,
+        |  round(coalesce(g.l2 / nullif(g.tot, 0.0), 0.0), 9) AS roof_fraction_distribution_h12_50
+        |FROM z9 z LEFT JOIN g ON z.idz = g.idz ORDER BY id_rsu""".stripMargin,
+    "geo_zonal_frac" ->
+      s"""WITH $scatterSql, $zones9Sql,
+        |ov AS (SELECT z.idz, sc.cls,
+        |      greatest(0.0, least(sc.bx + sc.bw, z.zx + 50) - greatest(sc.bx, z.zx))
+        |    * greatest(0.0, least(sc.by + sc.bh, z.zy + 50) - greatest(sc.by, z.zy)) AS a
+        |  FROM z9 z CROSS JOIN sc),
+        |g AS (SELECT idz, sum(CASE WHEN cls = 'low' THEN a ELSE 0.0 END) AS a_low,
+        |    sum(CASE WHEN cls = 'high' THEN a ELSE 0.0 END) AS a_high
+        |  FROM ov WHERE a > 0 GROUP BY 1)
+        |SELECT z.idz AS id_zone,
+        |  round(coalesce(g.a_low, 0.0) / 2500.0, 9) AS area_fraction_low,
+        |  round(coalesce(g.a_high, 0.0) / 2500.0, 9) AS area_fraction_high
+        |FROM z9 z LEFT JOIN g ON z.idz = g.idz ORDER BY id_zone""".stripMargin,
+    "grid_lod_mode" ->
+      s"""WITH $gridCellsSql,
+        |lod AS (SELECT (id_row - 1) // 3 AS lod_row, (id_col - 1) // 3 AS lod_col, lcz FROM cells),
+        |cnts AS (SELECT lod_row, lod_col, lcz, count(*) AS cnt FROM lod GROUP BY 1, 2, 3),
+        |w AS (SELECT *, CASE lcz WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 6 THEN 3 WHEN 8 THEN 2
+        |    WHEN 104 THEN 1 ELSE 0 END AS wt FROM cnts),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lod_row, lod_col
+        |    ORDER BY cnt DESC, wt, lcz) AS rn FROM w)
+        |SELECT lod_row, lod_col, lcz AS lcz_mode, cnt FROM r WHERE rn = 1
+        |ORDER BY lod_row, lod_col""".stripMargin,
+    "grid_neighbors" ->
+      s"""WITH $gridCellsSql,
+        |n AS (SELECT a.id_row, a.id_col, count(*) AS nn, sum(b.lcz) AS sl
+        |  FROM cells a JOIN cells b
+        |    ON abs(a.id_row - b.id_row) <= 1 AND abs(a.id_col - b.id_col) <= 1
+        |    AND NOT (a.id_row = b.id_row AND a.id_col = b.id_col)
+        |  GROUP BY 1, 2)
+        |SELECT c.id_row, c.id_col, coalesce(n.nn, 0) AS n_neighbors,
+        |  CAST(coalesce(n.sl, 0) AS BIGINT) AS sum_neighbors
+        |FROM cells c LEFT JOIN n ON c.id_row = n.id_row AND c.id_col = n.id_col
+        |ORDER BY c.id_row, c.id_col""".stripMargin,
+    "grid_sliding_warm" ->
+      s"""WITH $gridCellsSql,
+        |wc AS (SELECT id_row, id_col FROM cells WHERE lcz IN (1, 2, 8)),
+        |n AS (SELECT a.id_row, a.id_col, count(*) AS wn
+        |  FROM cells a JOIN wc b
+        |    ON abs(a.id_row - b.id_row) <= 2 AND abs(a.id_col - b.id_col) <= 2
+        |  GROUP BY 1, 2)
+        |SELECT c.id_row, c.id_col, coalesce(n.wn, 0) AS warm_count
+        |FROM cells c LEFT JOIN n ON c.id_row = n.id_row AND c.id_col = n.id_col
+        |ORDER BY c.id_row, c.id_col""".stripMargin,
+    // golden classes from the reference's identifyLczTypeTest asserts
+    // (TypologyClassificationTests.groovy) — urban 1/5/4, rural 101-107, LCZ8.
+    "lcz_classify" ->
+      """SELECT * FROM (VALUES (1, 1), (2, 5), (3, 107), (4, 102), (5, 101),
+        |  (6, 104), (7, 105), (18, 107), (19, 8), (20, 4))
+        |  AS t(id_rsu, lcz_primary) ORDER BY id_rsu""".stripMargin,
+    // golden correlation from the reference fixture block_build_corr
+    // (data_for_tests.sql:80-81)
+    "fixture_block_assign" -> {
+      val rows = GeoFixture.blockBuildCorr
+        .map { case (blk, b) => s"($b, $blk)" }.sorted.mkString(", ")
+      s"""SELECT * FROM (VALUES $rows) AS t(id_build, id_block) ORDER BY id_build"""
+    },
+    "pages_e2e" ->
+      s"""WITH p AS (SELECT i,
+        |    CASE WHEN i % 100 < 20 THEN 29.0 + ((i*1103515245 + 12345) % 2147483648) % 2000 / 1000.0
+        |      ELSE ((i*1103515245 + 12345) % 2147483648) % 55000 / 1000.0 + 0.0005 END AS x,
+        |    CASE WHEN i % 100 < 20 THEN 29.0 + ((i*69069 + 1) % 2147483648) % 2000 / 1000.0
+        |      ELSE ((i*69069 + 1) % 2147483648) % 55000 / 1000.0 - 15.0 + 0.0005 END AS y,
+        |    length('Deterministic page body number ' || i
+        |      || ' with some repeated filler words to give the text a realistic shape '
+        |      || 'lorem ipsum dolor sit amet ' || (i % 7)) AS tlen
+        |  FROM (SELECT range AS i FROM range(0, 20000))),
+        |${Queries.rsuRectsSql}
+        |SELECT CAST(id_rsu AS BIGINT) AS id_rsu,
+        |  CAST(floor(x / 10.0) AS BIGINT) + 1 AS id_col,
+        |  CAST(floor(y / 10.0) AS BIGINT) + 1 AS id_row,
+        |  count(*) AS cnt, count(*) AS n_text_ok, CAST(sum(tlen) AS BIGINT) AS sum_text_len
+        |FROM p JOIN rsu ON x > xmin AND x < xmax AND y > ymin AND y < ymax
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+}

@@ -1,0 +1,87 @@
+package graft.indicators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Grid-scale indicators — Spark re-expression of the reference's
+ * GridIndicators.groovy: the multiscale LOD pyramid with weighted mode
+ * (GridIndicators.groovy:126-280), the 8-neighbor lookup
+ * (:155-166, 238-254 — there correlated scalar subqueries per neighbor;
+ * here ONE shifted-key equi-join), and the sliding-window count
+ * (:450-496 — there a row/col BETWEEN range self-join; here an
+ * influence-explode + hash aggregate, which stays an equi-join/shuffle
+ * at 10^12-cell scale instead of a nested-loop range join).
+ */
+object GridIndicators {
+
+  /**
+   * LOD-`level` aggregation: grid cells collapse 3^level × 3^level into one
+   * LOD cell (lod_row = ⌊(id_row−1)/3^level⌋ — GridIndicators.groovy:210-214);
+   * per LOD cell the modal `lczCol` value is picked with the reference's
+   * tiebreak: count DESC, then priority weight ASC, then value ASC
+   * (`distinct on … order by count desc, weight` — :217-229).
+   */
+  def lodMode(cells: DataFrame, lczCol: String, weights: Map[Int, Int], level: Int): DataFrame = {
+    val f = math.pow(3, level).toInt
+    val weightExpr = weights.foldLeft(lit(0)) { case (acc, (k, w)) =>
+      when(col(lczCol) === k, w).otherwise(acc)
+    }
+    val counts = cells
+      .withColumn("lod_row", floor((col("id_row") - 1) / f).cast("long"))
+      .withColumn("lod_col", floor((col("id_col") - 1) / f).cast("long"))
+      .groupBy("lod_row", "lod_col", lczCol)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__w", weightExpr)
+    val win = Window.partitionBy("lod_row", "lod_col")
+      .orderBy(desc("cnt"), col("__w"), col(lczCol))
+    counts.withColumn("__rn", row_number().over(win)).where(col("__rn") === 1)
+      .select(col("lod_row"), col("lod_col"), col(lczCol).as("lcz_mode"), col("cnt"))
+  }
+
+  /**
+   * 8-neighbor aggregate: for every cell, stats over the up-to-8 existing
+   * neighbors. The reference runs 8 correlated scalar subqueries per row
+   * (GridIndicators.groovy:238-254); we explode each cell into its 8
+   * neighbor positions (a Generator — no shuffle) and hash-aggregate, so the
+   * whole lookup is ONE equi-join-shaped aggregation.
+   */
+  def neighborStats(cells: DataFrame, valueCol: String): DataFrame = {
+    val offs = for { dr <- -1 to 1; dc <- -1 to 1 if dr != 0 || dc != 0 } yield (dr, dc)
+    val offArr = array(offs.map { case (dr, dc) =>
+      struct(lit(dr).as("dr"), lit(dc).as("dc")) }: _*)
+    val contrib = cells
+      .select(col("id_row"), col("id_col"), col(valueCol), explode(offArr).as("o"))
+      .select((col("id_row") + col("o.dr")).as("id_row"),
+        (col("id_col") + col("o.dc")).as("id_col"), col(valueCol))
+    val agg = contrib.groupBy("id_row", "id_col")
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
+    cells.select("id_row", "id_col").join(agg, Seq("id_row", "id_col"), "left")
+      .select(col("id_row"), col("id_col"),
+        coalesce(col("__n"), lit(0L)).as("n_neighbors"),
+        coalesce(col("__s"), lit(0L)).as("sum_neighbors"))
+  }
+
+  /**
+   * Sliding-window count: per cell, how many cells within Chebyshev distance
+   * `size` (the (2·size+1)² window, self included) satisfy `pred`. The
+   * reference's `id_row BETWEEN a.id_row±size` range self-join
+   * (GridIndicators.groovy:450-496) becomes influence-explode: each matching
+   * cell contributes +1 to every position of its window, then one hash
+   * aggregate — equi-join shaped, skew-free, no nested loop.
+   */
+  def slidingWindowCount(cells: DataFrame, pred: Column, size: Int,
+                         outCol: String = "window_count"): DataFrame = {
+    val offs = for { dr <- -size to size; dc <- -size to size } yield (dr, dc)
+    val offArr = array(offs.map { case (dr, dc) =>
+      struct(lit(dr).as("dr"), lit(dc).as("dc")) }: _*)
+    val contrib = cells.where(pred)
+      .select(col("id_row"), col("id_col"), explode(offArr).as("o"))
+      .select((col("id_row") + col("o.dr")).as("id_row"),
+        (col("id_col") + col("o.dc")).as("id_col"))
+    val agg = contrib.groupBy("id_row", "id_col").agg(count(lit(1)).as("__n"))
+    cells.select("id_row", "id_col").join(agg, Seq("id_row", "id_col"), "left")
+      .select(col("id_row"), col("id_col"), coalesce(col("__n"), lit(0L)).as(outCol))
+  }
+}

@@ -28,6 +28,30 @@ object SpatialJoin {
   val CellCol = "__cell"
   private val SaltCol = "__salt"
 
+  /**
+   * Pure-Catalyst cell id of a point — bit-identical to `CellGrid.cell`
+   * (same clamp + morton interleave) but expressed as Column ops so the
+   * 10^12-row side stays inside whole-stage codegen: no UDF boxing, no JTS,
+   * no per-row allocation on the hot path.
+   */
+  def cellColumn(grid: CellGrid, res: Int, x: Column, y: Column): Column = {
+    val cs = grid.cellSize(res)
+    val maxIdx = (1L << res) - 1
+    def clampIdx(c: Column): Column =
+      least(greatest(floor(c).cast("long"), lit(0L)), lit(maxIdx))
+    def spread(v0: Column): Column = {
+      var v = v0.bitwiseAND(lit(0x1fffffffL))
+      v = (v.bitwiseOR(shiftleft(v, 16))).bitwiseAND(lit(0x0000ffff0000ffffL))
+      v = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00ff00ff00ff00ffL))
+      v = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x0f0f0f0f0f0f0f0fL))
+      v = (v.bitwiseOR(shiftleft(v, 2))).bitwiseAND(lit(0x3333333333333333L))
+      (v.bitwiseOR(shiftleft(v, 1))).bitwiseAND(lit(0x5555555555555555L))
+    }
+    val ix = clampIdx((x - grid.minX) / cs)
+    val iy = clampIdx((y - grid.minY) / cs)
+    lit(res.toLong << 58).bitwiseOR(shiftleft(spread(iy), 1)).bitwiseOR(spread(ix))
+  }
+
   /** cover(geom,res) as a UDF bound to a grid. */
   def coverUdf(grid: CellGrid, res: Int) =
     udf((wkb: Array[Byte]) => grid.cover(Geo.fromWkb(wkb), res))
