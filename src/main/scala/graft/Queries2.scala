@@ -363,6 +363,52 @@ object Queries2 {
         .orderBy("id_rsu", "id_col", "id_row")
     }),
 
+    // -- population disaggregation: zone population spread over residential
+    //    floor area (BuildingIndicators.groovy:507-577) ---------------------
+    "bld_population" -> ((s, dir) => {
+      val b = rectLayer(s, dir).withColumnRenamed("type", "main_use")
+      val zones = s.range(0, 4).toDF("z").select(
+        col("z").as("id_pop"),
+        ((col("z") + 1) * 1000).cast("double").as("pop"),
+        G.stMakeBox(lit(0.0), col("z") * 20.0, lit(200.0), (col("z") + 1) * 20.0).as("the_geom"))
+      BuildingIndicators.buildingPopulation(b, zones, Seq("residential"), grid, Res)
+        .select(col("id_build"), round(col("pop"), 9).as("pop"))
+        .orderBy("id_build")
+    }),
+
+    // -- surface-fraction superposition: building x high-vegetation atoms per
+    //    RSU (smallestCommunGeometry + surfaceFractions output semantics —
+    //    RsuIndicators.groovy:1473-1590, 1744-1869) -------------------------
+    "rsu_surface_fractions" -> ((s, dir) => {
+      val zones = Tiling.makeGrid(s, 0, 0, 150, 150, 50, 50)
+        .select(col("id_grid").as("id_rsu"), col("the_geom"))
+      val b = rectLayer(s, dir).select("the_geom")
+      val veg = t(s, dir, "documents").where(col("doc_id") < 400).select(
+        (col("doc_id") % 20 * 7).cast("double").as("vx"),
+        (floor(col("doc_id") / 20) % 20 * 7).cast("double").as("vy"),
+        (col("doc_id") % 5 + 2).cast("double").as("vw"),
+        (col("doc_id") * 3 % 5 + 2).cast("double").as("vh"))
+        .withColumn("the_geom",
+          G.stMakeBox(col("vx"), col("vy"), col("vx") + col("vw"), col("vy") + col("vh")))
+        .select("the_geom")
+      RsuIndicators.surfaceFractionsTwoLayer(zones, b, veg, grid, Res)
+        .select(col("id_rsu"),
+          round(col("building_fraction"), 9).as("building_fraction"),
+          round(col("high_vegetation_building_fraction"), 9).as("high_vegetation_building_fraction"),
+          round(col("high_vegetation_fraction"), 9).as("high_vegetation_fraction"),
+          round(col("undefined_fraction"), 9).as("undefined_fraction"))
+        .orderBy("id_rsu")
+    }),
+
+    // -- schema-aligning union with null padding (DataUtils.groovy:195-210
+    //    unionTables -> unionByName(allowMissingColumns)) -------------------
+    "set_union_pad" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.select(col("doc_id"), col("n_chars"))
+      val b = d.select((col("doc_id") + 1000000).as("doc_id"), col("lang"))
+      a.unionByName(b, allowMissingColumns = true).orderBy("doc_id")
+    }),
+
     // ====================== rows-only checks (no SQL oracle) ===============
     // MinHash+LSH near-dup pairs (banded signature equi-join + exact verify);
     // xxhash64 has no DuckDB equivalent, so the driver records rows-only.
@@ -587,6 +633,45 @@ object Queries2 {
         |SELECT c.id_row, c.id_col, coalesce(n.wn, 0) AS warm_count
         |FROM cells c LEFT JOIN n ON c.id_row = n.id_row AND c.id_col = n.id_col
         |ORDER BY c.id_row, c.id_col""".stripMargin,
+    "bld_population" ->
+      s"""WITH $rectsSql,
+        |res AS (SELECT id_build, w * h * lev AS wt, CAST(y0 AS BIGINT) // 20 AS zb
+        |  FROM rects WHERE type = 'residential' AND y0 < 80),
+        |zw AS (SELECT zb, sum(wt) AS sw FROM res GROUP BY 1),
+        |sh AS (SELECT id_build, (zb + 1) * 1000.0 * wt / sw AS pop
+        |  FROM res JOIN zw USING (zb))
+        |SELECT r.id_build, round(coalesce(sh.pop, 0.0), 9) AS pop
+        |FROM rects r LEFT JOIN sh USING (id_build) ORDER BY id_build""".stripMargin,
+    "rsu_surface_fractions" ->
+      s"""WITH $rectsSql, $zones9Sql,
+        |veg AS (SELECT CAST(doc_id % 20 * 7 AS DOUBLE) AS vx,
+        |    CAST((doc_id // 20) % 20 * 7 AS DOUBLE) AS vy,
+        |    CAST(doc_id % 5 + 2 AS DOUBLE) AS vw, CAST(doc_id * 3 % 5 + 2 AS DOUBLE) AS vh
+        |  FROM documents WHERE doc_id < 400),
+        |ab AS (SELECT z.idz, sum(greatest(0.0, least(r.x0 + r.w, z.zx + 50) - greatest(r.x0, z.zx))
+        |    * greatest(0.0, least(r.y0 + r.h, z.zy + 50) - greatest(r.y0, z.zy))) AS a
+        |  FROM z9 z CROSS JOIN rects r GROUP BY 1),
+        |av AS (SELECT z.idz, sum(greatest(0.0, least(v.vx + v.vw, z.zx + 50) - greatest(v.vx, z.zx))
+        |    * greatest(0.0, least(v.vy + v.vh, z.zy + 50) - greatest(v.vy, z.zy))) AS a
+        |  FROM z9 z CROSS JOIN veg v GROUP BY 1),
+        |abv AS (SELECT z.idz,
+        |    sum(greatest(0.0, least(r.x0 + r.w, v.vx + v.vw, z.zx + 50) - greatest(r.x0, v.vx, z.zx))
+        |      * greatest(0.0, least(r.y0 + r.h, v.vy + v.vh, z.zy + 50) - greatest(r.y0, v.vy, z.zy))) AS a
+        |  FROM z9 z CROSS JOIN rects r CROSS JOIN veg v GROUP BY 1)
+        |SELECT z.idz AS id_rsu,
+        |  round((coalesce(ab.a, 0.0) - coalesce(abv.a, 0.0)) / 2500.0, 9) AS building_fraction,
+        |  round(coalesce(abv.a, 0.0) / 2500.0, 9) AS high_vegetation_building_fraction,
+        |  round((coalesce(av.a, 0.0) - coalesce(abv.a, 0.0)) / 2500.0, 9) AS high_vegetation_fraction,
+        |  round(1.0 - (coalesce(ab.a, 0.0) - coalesce(abv.a, 0.0)) / 2500.0
+        |    - coalesce(abv.a, 0.0) / 2500.0
+        |    - (coalesce(av.a, 0.0) - coalesce(abv.a, 0.0)) / 2500.0, 9) AS undefined_fraction
+        |FROM z9 z LEFT JOIN ab ON z.idz = ab.idz LEFT JOIN av ON z.idz = av.idz
+        |LEFT JOIN abv ON z.idz = abv.idz ORDER BY id_rsu""".stripMargin,
+    "set_union_pad" ->
+      """SELECT doc_id, n_chars, NULL AS lang FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, NULL AS n_chars, lang FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // golden classes from the reference's identifyLczTypeTest asserts
     // (TypologyClassificationTests.groovy) — urban 1/5/4, rural 101-107, LCZ8.
     "lcz_classify" ->

@@ -55,7 +55,7 @@ object GeoFunctions {
   val stIntersects = udf((a: Array[Byte], b: Array[Byte]) => Geo.prepared(a).intersects(Geo.fromWkb(b)))
   val stContains   = udf((a: Array[Byte], b: Array[Byte]) => Geo.prepared(a).contains(Geo.fromWkb(b)))
   val stCovers     = udf((a: Array[Byte], b: Array[Byte]) => Geo.prepared(a).covers(Geo.fromWkb(b)))
-  val stContainsPoint = udf((a: Array[Byte], x: Double, y: Double) => Geo.prepared(a).contains(Geo.point(x, y)))
+  val stContainsPoint = udf((a: Array[Byte], x: Double, y: Double) => Geo.containsPointFast(a, x, y))
 
   // -- distances --
   val stDistance    = udf((a: Array[Byte], b: Array[Byte]) => Geo.fromWkb(a).distance(Geo.fromWkb(b)))

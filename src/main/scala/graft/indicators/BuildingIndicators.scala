@@ -96,6 +96,35 @@ object BuildingIndicators {
       .select("id_build", "road_distance")
   }
 
+  /**
+   * Population disaggregation — BuildingIndicators.groovy:507-577: population
+   * of each zone spread over its residential buildings proportionally to
+   * floor area (area × nb_lev); two-level aggregation (per-zone weight sum,
+   * then per-building share), LEFT JOIN back so non-residential buildings
+   * keep 0. The zone×building overlap areas come from the cell-equijoin.
+   *
+   * @param building needs id_build, the_geom, nb_lev, main_use
+   * @param popZones needs id_pop, the_geom, pop
+   */
+  def buildingPopulation(building: DataFrame, popZones: DataFrame,
+                         residentialUses: Seq[String],
+                         grid: CellGrid, res: Int): DataFrame = {
+    val resi = building.where(col("main_use").isin(residentialUses: _*))
+      .select(col("id_build"), col("the_geom"), col("nb_lev"))
+    val cand = SpatialJoin.candidates(resi, "the_geom",
+        popZones.select(col("id_pop"), col("pop"), col("the_geom").as("__zg")), "__zg",
+        grid, res, broadcastB = true)
+      .withColumn("__a", G.stIntersectionArea(col("__zg"), col("the_geom")))
+      .where(col("__a") > 0)
+      .withColumn("__w", col("__a") * col("nb_lev"))
+    val zoneW = cand.groupBy("id_pop").agg(sum(col("__w")).as("__sw"))
+    val share = cand.join(zoneW, "id_pop")
+      .groupBy("id_build")
+      .agg(sum(col("pop") * col("__w") / col("__sw")).as("pop"))
+    building.select("id_build").join(share, Seq("id_build"), "left")
+      .select(col("id_build"), coalesce(col("pop"), lit(0.0)).as("pop"))
+  }
+
   /** Logistic likelihood of belonging to a "large building": for buildings
     * with no neighbour, 1/(1+e^6.5·exp(-0.25·maxdistance(geom,geom))) —
     * BuildingIndicators.groovy:455-495 (note: max distance of the geometry

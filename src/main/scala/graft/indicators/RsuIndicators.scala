@@ -118,6 +118,56 @@ object RsuIndicators {
     }.drop("__tot")
   }
 
+  /**
+   * Surface-fraction superposition for two layers (building × high
+   * vegetation) — the output semantics of the reference's
+   * smallestCommunGeometry + surfaceFractions chain
+   * (RsuIndicators.groovy:1473-1590, 1744-1869) for the layers the LCZ
+   * chain needs: per RSU, the area fractions of building-only,
+   * vegetation-over-building (superposition combo), vegetation-only, and
+   * the undefined remainder. Instead of the reference's global ST_NODE +
+   * ST_POLYGONIZE overlay (single-task, whole-zone geometry graph), the
+   * atoms are computed per candidate pair with the cell-equijoin + JTS
+   * intersection — embarrassingly parallel and skew-salted like every other
+   * spatial join here.
+   *
+   * Assumes geometries do not self-overlap within one layer (the reference
+   * formats layers that way too).
+   */
+  def surfaceFractionsTwoLayer(rsu: DataFrame, building: DataFrame,
+                               veget: DataFrame, grid: CellGrid, res: Int): DataFrame = {
+    val r = rsu.select(col("id_rsu"), col("the_geom"))
+    def perRsuArea(layer: DataFrame, out: String): DataFrame =
+      SpatialJoin.candidates(r, "the_geom",
+          layer.select(col("the_geom").as("__lg")), "__lg", grid, res, broadcastB = false)
+        .withColumn("__a", G.stIntersectionArea(col("the_geom"), col("__lg")))
+        .groupBy("id_rsu").agg(sum("__a").as(out))
+    // building ∩ vegetation atoms, then clipped to the RSU
+    val bv = SpatialJoin.intersectsJoin(
+        building.select(col("the_geom").as("__bg")), "__bg",
+        veget.select(col("the_geom").as("__vg")), "__vg", grid, res)
+      .withColumn("__bv", G.stIntersection(col("__bg"), col("__vg")))
+    val bvPerRsu = SpatialJoin.candidates(r, "the_geom",
+        bv.select(col("__bv")), "__bv", grid, res, broadcastB = false)
+      .withColumn("__a", G.stIntersectionArea(col("the_geom"), col("__bv")))
+      .groupBy("id_rsu").agg(sum("__a").as("__abv"))
+    val joined = r
+      .join(perRsuArea(building, "__ab"), Seq("id_rsu"), "left")
+      .join(perRsuArea(veget, "__av"), Seq("id_rsu"), "left")
+      .join(bvPerRsu, Seq("id_rsu"), "left")
+      .withColumn("__area", G.stArea(col("the_geom")))
+    joined.select(col("id_rsu"),
+      ((coalesce(col("__ab"), lit(0.0)) - coalesce(col("__abv"), lit(0.0))) / col("__area"))
+        .as("building_fraction"),
+      (coalesce(col("__abv"), lit(0.0)) / col("__area"))
+        .as("high_vegetation_building_fraction"),
+      ((coalesce(col("__av"), lit(0.0)) - coalesce(col("__abv"), lit(0.0))) / col("__area"))
+        .as("high_vegetation_fraction"))
+      .withColumn("undefined_fraction",
+        lit(1.0) - col("building_fraction") - col("high_vegetation_building_fraction")
+          - col("high_vegetation_fraction"))
+  }
+
   private def fmt(d: Double): String =
     if (d == d.toLong.toDouble) d.toLong.toString else d.toString.replace('.', '_')
 }

@@ -10,11 +10,12 @@ import graft.index.CellGrid
  * replacement for H2GIS `ST_ConnectedComponents` used by the reference to
  * build blocks from touching buildings (SpatialUnits.groovy:377-457).
  *
- * Algorithm: iterative minimum-label propagation over the undirected edge
- * list (DataFrame joins, AQE-friendly), converging in O(component diameter)
- * rounds. Building-contact components are shallow (city blocks), so the
- * round count is small and bounded; each round is one shuffle on `id`.
- * Labels are checkpointed (localCheckpoint) every round to truncate lineage.
+ * Algorithm: iterative minimum-label propagation PLUS pointer-jumping path
+ * compression (each round also rewrites component := label(component), the
+ * hash-to-min idea of Rastogi et al. / large-star-small-star), so convergence
+ * is O(log diameter) rounds instead of O(diameter) — the difference between
+ * ~7 and ~1000 shuffles on a percolated city-scale contact graph. Labels are
+ * checkpointed (localCheckpoint) every round to truncate lineage.
  */
 object ConnectedComponents {
 
@@ -34,13 +35,18 @@ object ConnectedComponents {
       // candidate label for each vertex = min over neighbours' labels ∪ own
       val nbr = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("id")).agg(min("component").as("nbr_component"))
-      val updated = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_component"), col("component"))).as("component"),
-          (col("nbr_component") < col("component")).as("changed"))
+      val stepped = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"), col("component").as("old"),
+          least(col("component"), coalesce(col("nbr_component"), col("component"))).as("component"))
         .localCheckpoint()
-      converged = updated.where(col("changed")).isEmpty
-      labels = updated.drop("changed")
+      // pointer-jumping: component := label(component) (labels are vertex ids)
+      val ptr = stepped.select(col("id").as("__cid"), col("component").as("__cc"))
+      val compressed = stepped.join(ptr, stepped("component") === ptr("__cid"), "left")
+        .select(col("id"), col("old"),
+          least(col("component"), coalesce(col("__cc"), col("component"))).as("component"))
+        .localCheckpoint()
+      converged = compressed.where(col("component") =!= col("old")).isEmpty
+      labels = compressed.drop("old")
       iter += 1
     }
     labels

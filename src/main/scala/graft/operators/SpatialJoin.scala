@@ -81,7 +81,9 @@ object SpatialJoin {
                      grid: CellGrid, res: Int,
                      broadcastPolys: Boolean = true, salts: Int = 1): DataFrame = {
     val polyCells0 = polys.withColumn(CellCol, explode(coverUdf(grid, res)(col(geomCol))))
-    val ptCells0   = points.withColumn(CellCol, cellUdf(grid, res)(col(xCol), col(yCol)))
+    // point side stays pure Catalyst (codegen'd integer math — no UDF on the
+    // 10^12-row side); bit-identical to CellGrid.cell (CellGridSpec property)
+    val ptCells0   = points.withColumn(CellCol, cellColumn(grid, res, col(xCol), col(yCol)))
     val (polyCells, ptCells, keys) =
       if (broadcastPolys || salts <= 1) (polyCells0, ptCells0, Seq(CellCol))
       else (polyCells0.withColumn(SaltCol, explode(lit((0 until salts).toArray))),
