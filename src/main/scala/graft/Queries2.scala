@@ -115,6 +115,92 @@ object Queries2 {
       |  CASE WHEN doc_id % 2 = 0 THEN 'low' ELSE 'high' END AS cls
       |FROM documents)""".stripMargin
 
+  // ---- facade-distribution layer/direction config (rect layer, 4 y-bands) --
+  private val FacLayers = Seq(0.0, 4.0, 8.0, 12.0)
+  private val FacLayerNames = Seq("h0_4", "h4_8", "h8_12", "h12")
+  private val FacDirNames = Seq("d0_60", "d60_120", "d120_180")
+  private val FacOutNames = for (d <- FacDirNames; l <- FacLayerNames)
+    yield s"projected_facade_area_distribution_${l}_$d"
+
+  private def facBands(s: SparkSession): DataFrame =
+    s.range(0, 4).toDF("id_rsu").withColumn("the_geom",
+      G.stMakeBox(lit(0.0), col("id_rsu") * 20.0, lit(200.0), (col("id_rsu") + 1) * 20.0))
+
+  private def facDist(s: SparkSession, dir: String): DataFrame =
+    RsuIndicators.projectedFacadeAreaDistribution(
+      rectLayer(s, dir).select("id_build", "the_geom", "height_wall"),
+      facBands(s), grid, Res, FacLayers, numDirection = 6)
+
+  /** Facade rows of the rect layer as SQL: per-edge free lengths (party
+    * intervals subtracted), party-wall strips once (a<b), corner-touch-only
+    * buildings dropped (reference quirk), banded by y. */
+  private val facadeRowsSql =
+    """p3 AS (SELECT a.id_build AS ia, b.id_build AS ib,
+      |    a.x0 AS ax, a.y0 AS ay, a.hw AS hwa, b.x0 AS bx, b.y0 AS by2, b.hw AS hwb,
+      |    greatest(0.0, least(a.x0 + a.w, b.x0 + b.w) - greatest(a.x0, b.x0)) AS xov,
+      |    greatest(0.0, least(a.y0 + a.h, b.y0 + b.h) - greatest(a.y0, b.y0)) AS yov
+      |  FROM rects a JOIN rects b ON a.id_build <> b.id_build
+      |    AND a.x0 <= b.x0 + b.w AND b.x0 <= a.x0 + a.w
+      |    AND a.y0 <= b.y0 + b.h AND b.y0 <= a.y0 + a.h),
+      |p4 AS (SELECT *, CASE WHEN xov > 0 AND yov = 0 THEN xov
+      |    WHEN yov > 0 AND xov = 0 THEN yov ELSE 0.0 END AS slen,
+      |  CASE WHEN yov > 0 AND xov = 0 THEN 1 ELSE 0 END AS isvert FROM p3),
+      |dropped AS (SELECT DISTINCT ia AS id_build FROM p4
+      |  WHERE ia NOT IN (SELECT DISTINCT ia FROM p4 WHERE slen > 0)),
+      |sub AS (SELECT ia AS id_build,
+      |    sum(CASE WHEN isvert = 1 AND bx < ax THEN slen ELSE 0 END) AS sl,
+      |    sum(CASE WHEN isvert = 1 AND bx > ax THEN slen ELSE 0 END) AS sr,
+      |    sum(CASE WHEN isvert = 0 AND slen > 0 AND by2 < ay THEN slen ELSE 0 END) AS sb,
+      |    sum(CASE WHEN isvert = 0 AND slen > 0 AND by2 > ay THEN slen ELSE 0 END) AS st
+      |  FROM p4 GROUP BY 1),
+      |fr AS (
+      |  SELECT r.y0 AS ya, NULL AS yc, 0 AS azdeg, r.h - coalesce(s.sl, 0) AS len,
+      |    0.0 AS zmin, r.hw AS zmax
+      |  FROM rects r LEFT JOIN sub s USING (id_build)
+      |  WHERE r.id_build NOT IN (SELECT id_build FROM dropped)
+      |  UNION ALL
+      |  SELECT r.y0, NULL, 0, r.h - coalesce(s.sr, 0), 0.0, r.hw
+      |  FROM rects r LEFT JOIN sub s USING (id_build)
+      |  WHERE r.id_build NOT IN (SELECT id_build FROM dropped)
+      |  UNION ALL
+      |  SELECT NULL, r.y0, 90, r.w - coalesce(s.sb, 0), 0.0, r.hw
+      |  FROM rects r LEFT JOIN sub s USING (id_build)
+      |  WHERE r.id_build NOT IN (SELECT id_build FROM dropped)
+      |  UNION ALL
+      |  SELECT NULL, r.y0 + r.h, 90, r.w - coalesce(s.st, 0), 0.0, r.hw
+      |  FROM rects r LEFT JOIN sub s USING (id_build)
+      |  WHERE r.id_build NOT IN (SELECT id_build FROM dropped)
+      |  UNION ALL
+      |  SELECT CASE WHEN isvert = 1 THEN greatest(ay, by2) END,
+      |    CASE WHEN isvert = 0 THEN greatest(ay, by2) END,
+      |    CASE WHEN isvert = 1 THEN 0 ELSE 90 END,
+      |    slen, least(hwa, hwb), greatest(hwa, hwb)
+      |  FROM p4 WHERE ia < ib AND slen > 0),
+      |bands AS (SELECT CAST(range AS BIGINT) AS id_rsu, CAST(range * 20 AS DOUBLE) AS bz
+      |  FROM range(0, 4)),
+      |fb AS (SELECT b.id_rsu, f.azdeg, f.len, f.zmin, f.zmax
+      |  FROM fr f JOIN bands b ON f.len > 0 AND
+      |    ((f.azdeg = 0 AND CAST(f.ya AS BIGINT) // 20 = b.id_rsu)
+      |     OR (f.azdeg = 90 AND f.yc >= b.bz AND f.yc <= b.bz + 20)))""".stripMargin
+
+  private val facLayerSql: Seq[(String, String)] = Seq(
+    "h0_4"  -> "(CASE WHEN zmax <= 0 THEN 0 WHEN zmin >= 4 THEN 0 ELSE 4 - greatest(4 - zmax, 0) - greatest(zmin - 0, 0) END)",
+    "h4_8"  -> "(CASE WHEN zmax <= 4 THEN 0 WHEN zmin >= 8 THEN 0 ELSE 4 - greatest(8 - zmax, 0) - greatest(zmin - 4, 0) END)",
+    "h8_12" -> "(CASE WHEN zmax <= 8 THEN 0 WHEN zmin >= 12 THEN 0 ELSE 4 - greatest(12 - zmax, 0) - greatest(zmin - 8, 0) END)",
+    "h12"   -> "(CASE WHEN zmax >= 12 THEN zmax - greatest(zmin, 12) ELSE 0 END)")
+
+  private def facFactorSql(d: Int): String = {
+    val mid = s"(radians(${d * 60}) + radians(30))"
+    s"(CASE WHEN radians(azdeg) - $mid > pi()/2 THEN cos(radians(azdeg) - $mid - pi()/2) " +
+      s"WHEN radians(azdeg) - $mid < -pi()/2 THEN cos(radians(azdeg) - $mid + pi()/2) " +
+      s"ELSE abs(sin(radians(azdeg) - $mid)) END)"
+  }
+
+  private val facCellsSql: Seq[String] = for {
+    (dn, d) <- FacDirNames.zipWithIndex
+    (ln, lexpr) <- facLayerSql
+  } yield s"sum(len * $lexpr * ${facFactorSql(d)} / 2) AS __${ln}_$dn"
+
   // ---- grid cells for the grid indicators ---------------------------------
   private val LczVals = Array(1, 2, 6, 8, 101, 104, 107)
   private def gridCells(s: SparkSession, dir: String): DataFrame =
@@ -400,6 +486,32 @@ object Queries2 {
         .orderBy("id_rsu")
     }),
 
+    // -- projected facade area distribution (RsuIndicators.groovy:424-612):
+    //    party-wall removal, per-layer vertical clipping, per-direction
+    //    sin-projection, summed per RSU band ---------------------------------
+    "rsu_facade_distribution" -> ((s, dir) => {
+      facDist(s, dir)
+        .select(col("id_rsu") +: FacOutNames.map(n => round(col(n), 6).as(n)): _*)
+        .orderBy("id_rsu")
+    }),
+
+    // -- effective terrain roughness length z0 (RsuIndicators.groovy:901-957):
+    //    lambda_f from the facade distribution, Hanna&Britter piecewise ------
+    "rsu_roughness_length" -> ((s, dir) => {
+      import GenericIndicators._
+      val lower = rectLayer(s, dir)
+        .where(col("y0") < 80)
+        .select(floor(col("y0") / 20).cast("long").as("id_rsu"),
+          col("height_wall"), col("id_build"))
+      val gm = unweightedOperationFromLowerScale(lower, facBands(s), "id_rsu", "id_build",
+        Map("height_wall" -> Seq(OpGeomAvg)))
+      val joined = facDist(s, dir).join(gm, "id_rsu").join(facBands(s), "id_rsu")
+      RsuIndicators.effectiveTerrainRoughnessLength(joined, FacOutNames, "geom_avg_height_wall")
+        .select(col("id_rsu"),
+          round(col("effective_terrain_roughness_length"), 6).as("effective_terrain_roughness_length"))
+        .orderBy("id_rsu")
+    }),
+
     // -- schema-aligning union with null padding (DataUtils.groovy:195-210
     //    unionTables -> unionByName(allowMissingColumns)) -------------------
     "set_union_pad" -> ((s, dir) => {
@@ -667,6 +779,32 @@ object Queries2 {
         |    - (coalesce(av.a, 0.0) - coalesce(abv.a, 0.0)) / 2500.0, 9) AS undefined_fraction
         |FROM z9 z LEFT JOIN ab ON z.idz = ab.idz LEFT JOIN av ON z.idz = av.idz
         |LEFT JOIN abv ON z.idz = abv.idz ORDER BY id_rsu""".stripMargin,
+    "rsu_facade_distribution" -> {
+      val outer = FacOutNames.map { n =>
+        val inner = "__" + n.stripPrefix("projected_facade_area_distribution_")
+        s"round(coalesce(g.$inner, 0.0), 6) AS $n"
+      }.mkString(",\n  ")
+      s"""WITH $rectsSql, $facadeRowsSql,
+        |g AS (SELECT id_rsu, ${facCellsSql.mkString(", ")} FROM fb GROUP BY 1)
+        |SELECT b.id_rsu,
+        |  $outer
+        |FROM bands b LEFT JOIN g ON b.id_rsu = g.id_rsu ORDER BY b.id_rsu""".stripMargin
+    },
+    "rsu_roughness_length" ->
+      s"""WITH $rectsSql, $facadeRowsSql,
+        |g AS (SELECT id_rsu, ${facCellsSql.mkString(", ")} FROM fb GROUP BY 1),
+        |lf AS (SELECT b.id_rsu,
+        |    (${FacOutNames.map(n => "coalesce(g.__" + n.stripPrefix("projected_facade_area_distribution_") + ", 0.0)").mkString(" + ")})
+        |      / (3 * 4000.0) AS l
+        |  FROM bands b LEFT JOIN g ON b.id_rsu = g.id_rsu),
+        |gm AS (SELECT CAST(y0 AS BIGINT) // 20 AS id_rsu, exp(avg(ln(hw))) AS h
+        |  FROM rects WHERE y0 < 80 GROUP BY 1)
+        |SELECT lf.id_rsu,
+        |  round(CASE WHEN lf.l < 0.15
+        |    THEN (CASE WHEN lf.l * gm.h > 3 THEN 3.0 ELSE lf.l * gm.h END)
+        |    ELSE (CASE WHEN 0.15 * gm.h > 3 THEN 3.0 ELSE 0.15 * gm.h END) END, 6)
+        |    AS effective_terrain_roughness_length
+        |FROM lf JOIN gm ON lf.id_rsu = gm.id_rsu ORDER BY lf.id_rsu""".stripMargin,
     "set_union_pad" ->
       """SELECT doc_id, n_chars, NULL AS lang FROM documents
         |UNION ALL

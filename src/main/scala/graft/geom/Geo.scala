@@ -178,6 +178,34 @@ object Geo {
     out.result()
   }
 
+  /** ST_TOMULTILINE: all rings of polygonal geometry as a MultiLineString. */
+  def toMultiLine(g: Geometry): Geometry = {
+    val lines = Array.newBuilder[LineString]
+    def walk(geom: Geometry): Unit = geom match {
+      case p: Polygon =>
+        lines += factory.createLineString(p.getExteriorRing.getCoordinateSequence)
+        (0 until p.getNumInteriorRing).foreach(i =>
+          lines += factory.createLineString(p.getInteriorRingN(i).getCoordinateSequence))
+      case l: LineString => lines += l
+      case gc: GeometryCollection => (0 until gc.getNumGeometries).foreach(i => walk(gc.getGeometryN(i)))
+      case _ => ()
+    }
+    walk(g)
+    factory.createMultiLineString(lines.result())
+  }
+
+  /** ST_CollectionExtract(geom, 2): LineString members (empty MLS if none). */
+  def linesOf(g: Geometry): Geometry = {
+    val lines = Array.newBuilder[LineString]
+    def walk(geom: Geometry): Unit = geom match {
+      case l: LineString => lines += l
+      case gc: GeometryCollection => (0 until gc.getNumGeometries).foreach(i => walk(gc.getGeometryN(i)))
+      case _ => ()
+    }
+    walk(g)
+    factory.createMultiLineString(lines.result())
+  }
+
   /** ST_PRECISIONREDUCER scale=10^digits (RsuIndicators.groovy:1604 uses 3). */
   def precisionReduce(g: Geometry, digits: Int): Geometry = {
     val pm = new PrecisionModel(math.pow(10, digits))

@@ -79,6 +79,13 @@ object GeoFunctions {
     else pa.getGeometry.intersection(gb).getLength
   }
 
+  // -- linework helpers (facade distributions) --
+  /** ST_TOMULTILINE: polygon boundary (exterior + holes) as MultiLineString. */
+  val stToMultiLine = udf { (b: Array[Byte]) => Geo.toWkb(Geo.toMultiLine(Geo.fromWkb(b))) }
+  /** ST_CollectionExtract(geom, 2): the LineString members only. */
+  val stLines = udf { (b: Array[Byte]) => Geo.toWkb(Geo.linesOf(Geo.fromWkb(b))) }
+  val stIsEmpty = udf { (b: Array[Byte]) => Geo.fromWkb(b).isEmpty }
+
   // -- explode helpers (ST_TOMULTISEGMENTS / ST_EXPLODE) --
   /** array of segment structs (x1,y1,x2,y2,len,azimuth_deg in [0,180)). */
   val stSegments = udf { (b: Array[Byte]) =>

@@ -119,6 +119,120 @@ object RsuIndicators {
   }
 
   /**
+   * Projected facade area distribution per height layer × wind direction —
+   * faithful re-expression of RsuIndicators.groovy:424-612 (golden: rsu1
+   * buildings 1-5, nDir=4 → h0_10 637.10 / h10_20 32.53 per direction):
+   *  1. party walls = linework of building×building intersections;
+   *  2. free facades = building boundary minus the union of its party walls
+   *     (isolated buildings keep their full boundary; buildings whose only
+   *     contacts are corner points contribute nothing — reference quirk of
+   *     the NOT IN + isempty filter, replicated);
+   *  3. party walls re-enter once (a<b) for the strip between the two wall
+   *     heights (z_min..z_max);
+   *  4. per height layer, the vertical extent of each facade clipped to the
+   *     layer; facades clipped to the RSU (contains fast path);
+   *  5. exploded to segments; per direction bucket the projected length
+   *     len·|sin(az−dirMid)|/2 (cos fold-back outside ±π/2).
+   * All steps are cell-equijoins + one hash aggregate — no correlated
+   * subqueries, no per-row SQL like the reference's temp-table chain.
+   */
+  def projectedFacadeAreaDistribution(building: DataFrame, rsu: DataFrame,
+                                      grid: CellGrid, res: Int,
+                                      layersBottom: Seq[Double] = Seq(0, 10, 20, 30, 40, 50),
+                                      numDirection: Int = 12): DataFrame = {
+    require(360 % numDirection == 0 && numDirection % 2 == 0)
+    val b = building.select(col("id_build"), col("the_geom"),
+      col("height_wall").cast("double").as("height_wall"))
+    val bB = b.select(col("id_build").as("__idb"), col("the_geom").as("__gb"),
+      col("height_wall").as("__hwb"))
+    val party = SpatialJoin.intersectsJoin(b, "the_geom", bB, "__gb", grid, res)
+      .where(col("id_build") =!= col("__idb"))
+      .select(col("id_build").as("ida"), col("__idb").as("idb"),
+        G.stLines(G.stIntersection(G.stMakeValid(col("the_geom")), G.stMakeValid(col("__gb")))).as("pw"),
+        greatest(col("height_wall"), col("__hwb")).as("z_max"),
+        least(col("height_wall"), col("__hwb")).as("z_min"))
+    val touched = party.select(col("ida")).distinct()
+    val isolated = b.join(touched, b("id_build") === touched("ida"), "left_anti")
+      .select(G.stToMultiLine(col("the_geom")).as("fac"),
+        col("height_wall").as("z_max"), lit(0.0).as("z_min"))
+    val unions = party.where(!G.stIsEmpty(col("pw")))
+      .groupBy(col("ida")).agg(G.st_union_agg(col("pw")).as("__pu"))
+    val freed = b.join(unions, b("id_build") === unions("ida"))
+      .select(G.stDifference(G.stToMultiLine(col("the_geom")), col("__pu")).as("fac"),
+        col("height_wall").as("z_max"), lit(0.0).as("z_min"))
+    val partyFac = party.where(col("ida") < col("idb"))
+      .select(col("pw").as("fac"), col("z_max"), col("z_min"))
+    val facades = isolated.unionAll(freed).unionAll(partyFac)
+
+    // vertical extent of each facade within each layer
+    // (reference CASEWHEN cascade, RsuIndicators.groovy:508-527)
+    val zmax = col("z_max"); val zmin = col("z_min")
+    val layerNames: Seq[String] =
+      layersBottom.sliding(2).toSeq.collect { case Seq(l0, l1) => s"h${fmt(l0)}_${fmt(l1)}" } :+
+        s"h${fmt(layersBottom.last)}"
+    val layerExprs: Seq[Column] =
+      layersBottom.sliding(2).toSeq.collect { case Seq(l0, l1) =>
+        when(zmax <= l0, 0.0).otherwise(when(zmin >= l1, 0.0)
+          .otherwise(lit(l1 - l0) - greatest(lit(l1) - zmax, lit(0.0)) - greatest(zmin - l0, lit(0.0))))
+      } :+ when(zmax >= layersBottom.last, zmax - greatest(zmin, lit(layersBottom.last))).otherwise(0.0)
+    val layered = facades.select(col("fac") +:
+      layerNames.zip(layerExprs).map { case (n, c) => c.as(n) }: _*)
+
+    // clip facades to RSUs (prepared on the RSU side), explode to segments
+    val r = rsu.select(col("id_rsu"), col("the_geom").as("__rg"))
+    val clipped = SpatialJoin.intersectsJoin(layered, "fac", r, "__rg", grid, res)
+      .withColumn("__cf", when(G.stContains(col("__rg"), col("fac")), col("fac"))
+        .otherwise(G.stIntersection(col("__rg"), col("fac"))))
+    val segs = clipped.select(
+      (col("id_rsu") +: layerNames.map(col)) :+ explode(G.stSegments(col("__cf"))).as("s"): _*)
+      .withColumn("__az", radians(col("s._6")))
+      .withColumn("__len", col("s._5"))
+
+    val dirMedRad = math.toRadians(180.0 / numDirection)
+    val outNames = for (d <- 0 until numDirection / 2; ln <- layerNames) yield {
+      val dirDeg = d * 360 / numDirection
+      s"projected_facade_area_distribution_${ln}_d${dirDeg}_${dirDeg + 360 / numDirection}"
+    }
+    val dirAggs: Seq[Column] = (for (d <- 0 until numDirection / 2; ln <- layerNames) yield {
+      val dirDeg = d * 360 / numDirection
+      val dirRadMid = math.toRadians(dirDeg) + dirMedRad
+      val diff = col("__az") - dirRadMid
+      val v = col(ln) * col("__len")
+      val contrib = when(diff > math.Pi / 2, v * cos(diff - math.Pi / 2) / 2)
+        .when(diff < -math.Pi / 2, v * cos(diff + math.Pi / 2) / 2)
+        .otherwise(v * abs(sin(diff)) / 2)
+      sum(contrib).as(s"projected_facade_area_distribution_${ln}_d${dirDeg}_${dirDeg + 360 / numDirection}")
+    }).toSeq
+    val agg = segs.groupBy("id_rsu").agg(dirAggs.head, dirAggs.tail: _*)
+    rsu.select("id_rsu").join(agg, Seq("id_rsu"), "left")
+      .select(col("id_rsu") +: outNames.map(n => coalesce(col(n), lit(0.0)).as(n)): _*)
+  }
+
+  /**
+   * Effective terrain roughness length z0 — RsuIndicators.groovy:901-957:
+   * λf = Σ(all facade-distribution cells) / (nDir/2 · rsu_area); z0 =
+   * min(3, h_geom · min(λf, 0.15)) (Hanna & Britter piecewise).
+   * Input: the projectedFacadeAreaDistribution output joined with the RSU
+   * geometry and the geometric-mean building height column.
+   */
+  def effectiveTerrainRoughnessLength(facadeDistWithRsu: DataFrame,
+                                      facadeCols: Seq[String],
+                                      geomMeanHeightCol: String): DataFrame = {
+    // λf divides by (numberOfDirection/2 · area); facadeCols covers all
+    // direction×layer cells, so nDir/2 = the number of distinct _d suffixes
+    val nDirGroups = facadeCols.map(_.replaceAll(".*_d", "")).distinct.size
+    facadeDistWithRsu.select(col("id_rsu"),
+      (facadeCols.map(col).reduce(_ + _) /
+        (lit(nDirGroups.toDouble) * G.stArea(col("the_geom")))).as("__lf"),
+      col(geomMeanHeightCol).as("__h"))
+      .select(col("id_rsu"),
+        when(col("__lf") < 0.15,
+          when(col("__lf") * col("__h") > 3, 3.0).otherwise(col("__lf") * col("__h")))
+          .otherwise(when(lit(0.15) * col("__h") > 3, 3.0).otherwise(lit(0.15) * col("__h")))
+          .as("effective_terrain_roughness_length"))
+  }
+
+  /**
    * Surface-fraction superposition for two layers (building × high
    * vegetation) — the output semantics of the reference's
    * smallestCommunGeometry + surfaceFractions chain

@@ -10,6 +10,32 @@ class RsuIndicatorsSpec extends SparkTestBase {
   val grid = CellGrid.fixture
   val Res = 10
 
+  test("projected facade area distribution: reference goldens (rsu1, buildings 1-5, nDir=4)") {
+    import spark.implicits._
+    val b = GeoFixture.buildingDf(spark).where($"id_build" < 6)
+    val rsu = GeoFixture.rsuDf(spark)
+    val out = RsuIndicators.projectedFacadeAreaDistribution(b, rsu, grid, Res,
+      Seq(0, 10, 20, 30, 40, 50), numDirection = 4)
+    val r1 = out.where($"id_rsu" === 1).head()
+    def v(n: String) = math.round(r1.getAs[Double](n) * 100) / 100.0
+    // RsuIndicatorsTests.groovy projectedFacadeAreaDistributionTest golden
+    assert(v("projected_facade_area_distribution_h0_10_d0_90") == 637.10)
+    assert(v("projected_facade_area_distribution_h0_10_d90_180") == 637.10)
+    assert(v("projected_facade_area_distribution_h10_20_d0_90") == 32.53)
+    assert(v("projected_facade_area_distribution_h10_20_d90_180") == 32.53)
+    for (l <- Seq("h20_30", "h30_40", "h40_50", "h50"); d <- Seq("d0_90", "d90_180"))
+      assert(v(s"projected_facade_area_distribution_${l}_$d") == 0.0)
+  }
+
+  test("projected facade area distribution: empty building set -> all zeros") {
+    import spark.implicits._
+    val b = GeoFixture.buildingDf(spark).where($"id_build" < 1)
+    val out = RsuIndicators.projectedFacadeAreaDistribution(b, GeoFixture.rsuDf(spark),
+      grid, Res, Seq(0, 10, 20, 30, 40, 50), numDirection = 4)
+    val r1 = out.where($"id_rsu" === 1).head()
+    (1 until r1.length).foreach(i => assert(r1.getDouble(i) == 0.0))
+  }
+
   test("freeExternalFacadeDensity golden (rsu1 = 0.947 on buildings 1-7)") {
     val b = GeoFixture.buildingDf(spark).where(col("id_build") < 8)
     val nb = BuildingIndicators.neighborsProperties(b, grid, Res)
