@@ -24,9 +24,13 @@ object ConnectedComponents {
     * @return (id, component) where component = min vertex id reachable. */
   def run(vertices: DataFrame, idCol: String, edges: DataFrame,
           srcCol: String, dstCol: String, maxIter: Int = 50): DataFrame = {
+    // materialized once — every label-propagation round joins against it;
+    // without this the upstream edge discovery (a spatial join) re-runs
+    // per round
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = vertices.select(col(idCol).as("id"), col(idCol).cast("long").as("component"))
       .localCheckpoint()
     var converged = false

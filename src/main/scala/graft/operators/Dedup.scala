@@ -21,15 +21,25 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_cnt"))
 
   // ---- shingling ----------------------------------------------------------
-  /** Word k-shingles as 64-bit hashes (xxhash64 of the joined shingle). */
+  /**
+   * Word k-shingles as 64-bit hashes: words hashed ONCE (xxhash64), windows
+   * combined position-sensitively with XOR-rotate mixing (pure bitwise —
+   * ANSI-safe, no overflow). O(n·k) long ops per document — no per-window
+   * string slicing / concatenation / re-hashing (that interpreted path
+   * measured ~10x slower).
+   */
   def shingles(textCol: Column, k: Int): Column = {
     val words = split(textCol, " ", -1)
-    // sliding window via transform over indices; filter drops tail windows
-    val n = size(words)
-    filter(
-      transform(sequence(lit(0), greatest(n - k, lit(0))),
-        i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(k))))),
-      (_, i) => i <= n - k)
+    val hw = transform(words, w => xxhash64(w))
+    val m = greatest(size(words) - k + 1, lit(0)) // number of windows
+    def rot(c: Column, r: Int): Column =
+      if (r == 0) c else shiftleft(c, r).bitwiseOR(shiftrightunsigned(c, 64 - r))
+    // window i xor-combines hw[i..i+k-1]: k shifted slices zipped — NO
+    // random element_at inside a lambda (that re-evaluates the whole word
+    // hashing per access: O(n^2) per document, measured 5x slower)
+    val parts = (0 until k).map(j =>
+      transform(slice(hw, lit(j + 1), m), h => rot(h, (j * 21) % 63)))
+    parts.reduce((a, b) => zip_with(a, b, (x, y) => x.bitwiseXOR(y)))
   }
 
   /**
@@ -61,10 +71,14 @@ object Dedup {
                  k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // materialize the signature table once: the banded self-join would
+    // otherwise re-evaluate the (interpreted, higher-order) shingle +
+    // signature expressions on both join sides
     val withSig = docs
       .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .localCheckpoint()
     val banded = withSig.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
@@ -102,7 +116,10 @@ object Dedup {
     * verified by exact Hamming distance <= maxHamming. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // materialized once: simhash64 is 64 interpreted aggregates per row —
+    // never let the self-join recompute it per side
     val sh = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("h"))
+      .localCheckpoint()
     val chunked = sh.select(col("id"), col("h"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("h"), c * 16).bitwiseAND(0xFFFFL)): _*)))
@@ -128,7 +145,10 @@ object Dedup {
         array_distinct(shingles(col(textCol), k)).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("sz", size(col("sh")))
+    // one materialization of the postings; the inverted-index self-join would
+    // otherwise evaluate the shingle expressions once per side
     val inv = sets.select(col("id"), col("sz"), explode(col("sh")).as("g"))
+      .localCheckpoint()
     val rhs = inv.select(col("g"), col("id").as("id_b"), col("sz").as("sz_b"))
     inv.join(rhs, Seq("g"))
       .where(col("id") < col("id_b"))
