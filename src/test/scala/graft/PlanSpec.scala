@@ -1,0 +1,60 @@
+package graft
+
+/**
+ * Physical-plan audits: the properties that make these operators survive a
+ * 100x scale-up are asserted on the ACTUAL executed plans — broadcast of
+ * small polygon/dim sides (no shuffle of the big table), parquet column
+ * pruning, predicate pushdown, and whole-stage codegen on the hot paths.
+ */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // finalize AQE so the executed plan (incl. codegen stages) is real
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("geo_pip_join: polygon cover is broadcast — the big point side never shuffles for the join") {
+    val p = plan("geo_pip_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("pages_e2e flagship: broadcast join + no cartesian/nested-loop anywhere") {
+    val p = plan("pages_e2e")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q2_join_topk: dimension table broadcast") {
+    assert(plan("q2_join_topk").contains("BroadcastHashJoin"))
+  }
+
+  test("q4_anti_join: predicate pushed to the orders parquet scan") {
+    val p = plan("q4_anti_join")
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,400000.0)]")
+      || p.contains("GreaterThan(o_totalprice,400000.0)"), p.take(3000))
+  }
+
+  test("text_stats: parquet scan prunes to the referenced columns only") {
+    val p = plan("text_stats")
+    val readSchemas = "ReadSchema: [^\\n]+".r.findAllIn(p).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(s => !s.contains("lang") && !s.contains("source")), readSchemas.mkString("\n"))
+  }
+
+  test("hot paths run inside whole-stage codegen") {
+    // codegen stages print as "*(n)" in the finalized AQE plan
+    assert(plan("geo_tile_assign").contains("*("))
+    assert(plan("q1_agg").contains("*("))
+  }
+
+  test("grid ops are equi-join shaped (no range/nested-loop joins)") {
+    for (q <- Seq("grid_neighbors", "grid_sliding_warm", "grid_lod_mode")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), q)
+    }
+  }
+}
