@@ -521,6 +521,26 @@ object Queries2 {
       a.unionByName(b, allowMissingColumns = true).orderBy("doc_id")
     }),
 
+    // -- SMBR building direction distribution + characterization
+    //    (GenericIndicators.groovy:291-411) ---------------------------------
+    "bld_direction" -> ((s, dir) => {
+      val b = rectLayer(s, dir).withColumn("id_zone", col("id_build") % 20)
+      val upper = s.range(0, 25).toDF("id_zone")
+      GenericIndicators.buildingDirectionDistribution(b, upper, "id_zone", 15)
+        .select(col("id_zone"), col("main_building_direction"),
+          round(col("building_direction_equality"), 9).as("building_direction_equality"),
+          round(col("building_direction_uniqueness"), 9).as("building_direction_uniqueness"))
+        .orderBy("id_zone")
+    }),
+
+    // -- embedding-cosine near-dup pairs (exact; broadcast self-join,
+    //    IVF-bucketed at scale — see Similarity.cosinePairs) ----------------
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 9).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ====================== rows-only checks (no SQL oracle) ===============
     // MinHash+LSH near-dup pairs (banded signature equi-join + exact verify);
     // xxhash64 has no DuckDB equivalent, so the driver records rows-only.
@@ -805,6 +825,32 @@ object Queries2 {
         |    ELSE (CASE WHEN 0.15 * gm.h > 3 THEN 3.0 ELSE 0.15 * gm.h END) END, 6)
         |    AS effective_terrain_roughness_length
         |FROM lf JOIN gm ON lf.id_rsu = gm.id_rsu ORDER BY lf.id_rsu""".stripMargin,
+    // For an axis-aligned rect, JTS MinimumDiameter(minimumRectangle) puts
+    // the y-side length in the [0,15) bucket (ang7_5) and the x-side length
+    // in the [90,105) bucket (ang97_5) — verified empirically and pinned by
+    // DirectionSpec against the reference goldens.
+    "bld_direction" ->
+      s"""WITH $rectsSql,
+        |g AS (SELECT id_zone, sum(h) AS v0, sum(w) AS v6 FROM rects GROUP BY 1),
+        |z AS (SELECT CAST(range AS BIGINT) AS id_zone FROM range(0, 25))
+        |SELECT z.id_zone,
+        |  CASE WHEN g.v0 IS NULL THEN 'unknown'
+        |    WHEN g.v0 >= g.v6 THEN 'ang7_5' ELSE 'ang97_5' END AS main_building_direction,
+        |  round(CASE WHEN g.v0 IS NULL THEN -1.0
+        |    ELSE (least(g.v0, (g.v0 + g.v6)/12) + least(g.v6, (g.v0 + g.v6)/12)) / (g.v0 + g.v6)
+        |    END, 9) AS building_direction_equality,
+        |  round(CASE WHEN g.v0 IS NULL THEN -1.0
+        |    ELSE abs(greatest(g.v0, g.v6) - least(g.v0, g.v6)) / (g.v0 + g.v6) END, 9)
+        |    AS building_direction_uniqueness
+        |FROM z LEFT JOIN g ON z.id_zone = g.id_zone ORDER BY z.id_zone""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(c, 9) AS cosine FROM p WHERE c >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
     "set_union_pad" ->
       """SELECT doc_id, n_chars, NULL AS lang FROM documents
         |UNION ALL

@@ -135,6 +135,74 @@ object GenericIndicators {
   }
 
   /**
+   * Building direction distribution + characterization —
+   * GenericIndicators.groovy:291-411 (golden: block 4 → equality 4/12,
+   * main direction ang97_5, uniqueness 6/50):
+   * per building, the minimum rectangle's minimum diameter gives the short
+   * axis (LEN_L, ANG_L) and the π/2-rotated axis (LEN_H = building area /
+   * LEN_L, ANG_H); lengths bucketed by rounded azimuth degree into
+   * `angleRangeSize`° classes (nested CASE: ANG_L wins the bucket); per
+   * upper unit the distribution is characterized (Perkins equality,
+   * two-largest uniqueness, extremum bucket name); empty units → -1 /
+   * "unknown" (reference defaults).
+   */
+  def buildingDirectionDistribution(building: DataFrame, upper: DataFrame, idUp: String,
+                                    angleRangeSize: Int = 15): DataFrame = {
+    require(180 % angleRangeSize == 0 && 180 / angleRangeSize > 1)
+    val nb = 180 / angleRangeSize
+    val props = udf { (wkb: Array[Byte]) =>
+      val g = graft.geom.Geo.fromWkb(wkb)
+      val rect = graft.geom.Geo.minimumRectangle(g)
+      val diam = new org.locationtech.jts.algorithm.MinimumDiameter(rect).getDiameter
+      val cs = diam.getCoordinates
+      val lenL = diam.getLength
+      val lenH = g.getArea / lenL
+      val angL360 = math.round(math.toDegrees(
+        graft.geom.Geo.azimuth(cs(0).x, cs(0).y, cs(1).x, cs(1).y))).toDouble
+      // ST_ROTATE(geom, pi/2) is a CCW rotation; azimuth is translation-
+      // invariant so rotate the direction vector: (dx,dy) -> (-dy,dx)
+      val dx = cs(1).x - cs(0).x; val dy = cs(1).y - cs(0).y
+      val angH360 = math.round(math.toDegrees(
+        graft.geom.Geo.azimuth(0, 0, -dy, dx))).toDouble
+      // reference quirk replicated: >=180 for ANG_L but strict >180 for ANG_H
+      val angL = if (angL360 >= 180) angL360 - 180 else angL360
+      val angH = if (angH360 > 180) angH360 - 180 else angH360
+      (lenL, lenH, angL, angH)
+    }
+    val p = building.select(col(idUp), props(col("the_geom")).as("__p"))
+      .select(col(idUp), col("__p._1").as("__len_l"), col("__p._2").as("__len_h"),
+        col("__p._3").as("__ang_l"), col("__p._4").as("__ang_h"))
+    def name(b: Int): String = {
+      val center = b * angleRangeSize + angleRangeSize / 2.0
+      "ang" + f"$center%.1f".replace('.', '_') // Groovy float toString keeps one decimal
+    }
+    val buckets = (0 until nb).map { b =>
+      val lo = b * angleRangeSize; val hi = lo + angleRangeSize
+      sum(when(col("__ang_l") >= lo && col("__ang_l") < hi, col("__len_l"))
+        .otherwise(when(col("__ang_h") >= lo && col("__ang_h") < hi, col("__len_h"))
+          .otherwise(0.0))).as(name(b))
+    }
+    val names = (0 until nb).map(name)
+    val dist = p.groupBy(col(idUp)).agg(buckets.head, buckets.tail: _*)
+    val joined = upper.select(idUp).join(dist, Seq(idUp), "left")
+    val arr = array(names.map(col): _*)
+    val tot = aggregate(arr, lit(0.0), (a, x) => a + x)
+    val sorted = array_sort(arr)
+    val x1 = element_at(sorted, -1); val x2 = element_at(sorted, -2)
+    val mx = greatest(names.map(col): _*)
+    val mainDir = coalesce(names.map(n => when(col(n) === mx, lit(n))) :+ lit("unknown"): _*)
+    joined.select(col(idUp),
+      when(col(names.head).isNull, lit("unknown")).otherwise(mainDir)
+        .as("main_building_direction"),
+      when(col(names.head).isNull, -1.0)
+        .otherwise(aggregate(arr, lit(0.0), (a, x) => a + least(x, tot / nb)) / tot)
+        .as("building_direction_equality"),
+      when(col(names.head).isNull, -1.0)
+        .otherwise(abs(x1 - x2) / (x1 + x2))
+        .as("building_direction_uniqueness"))
+  }
+
+  /**
    * Per-row distribution characterization over an array of bucket values —
    * GenericIndicators.groovy:448-646, there a Groovy row-loop + JDBC batch
    * insert; here pure Catalyst higher-order functions (no row-at-a-time IO):

@@ -43,6 +43,23 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
   }
 
+  /**
+   * Exact cosine near-duplicate pairs above a threshold — the
+   * embedding-cosine dedup operator. The smaller side is broadcast so the
+   * big side streams once; at 10^12 rows the same verification runs after
+   * IVF-bucket candidate generation (ivfAssign: pairs sharing a centroid
+   * bucket), trading exactness for a bounded candidate set.
+   */
+  def cosinePairs(data: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val a = data.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = data.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.crossJoin(broadcast(b)).where(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Deterministic centroid seed: the first `k` vectors by id (stable across
     * runs; a real pipeline would run a few Lloyd iterations the same way). */
   def seedCentroids(data: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
