@@ -521,6 +521,21 @@ object Queries2 {
       a.unionByName(b, allowMissingColumns = true).orderBy("doc_id")
     }),
 
+    // -- gable-roof area distribution per height layer + densities
+    //    (RsuIndicators.groovy:661-862) -------------------------------------
+    "rsu_roof_distribution" -> ((s, dir) => {
+      val b = rectLayer(s, dir)
+        .withColumn("id_rsu", floor(col("y0") / 20).cast("long"))
+        .where(col("id_rsu") < 4)
+        .select("id_build", "id_rsu", "the_geom", "height_wall", "height_roof")
+      val names = Seq("non_vert_roof_area_h0_5", "non_vert_roof_area_h5_10",
+        "non_vert_roof_area_h10", "vert_roof_area_h0_5", "vert_roof_area_h5_10",
+        "vert_roof_area_h10", "vert_roof_density", "non_vert_roof_density")
+      RsuIndicators.roofAreaDistribution(facBands(s), b, Seq(0, 5, 10), grid, Res)
+        .select(col("id_rsu") +: names.map(n => round(col(n), 6).as(n)): _*)
+        .orderBy("id_rsu")
+    }),
+
     // -- SMBR building direction distribution + characterization
     //    (GenericIndicators.groovy:291-411) ---------------------------------
     "bld_direction" -> ((s, dir) => {
@@ -825,6 +840,64 @@ object Queries2 {
         |    ELSE (CASE WHEN 0.15 * gm.h > 3 THEN 3.0 ELSE 0.15 * gm.h END) END, 6)
         |    AS effective_terrain_roughness_length
         |FROM lf JOIN gm ON lf.id_rsu = gm.id_rsu ORDER BY lf.id_rsu""".stripMargin,
+    "rsu_roof_distribution" ->
+      s"""WITH $rectsSql,
+        |ini AS (SELECT id_build, CAST(y0 AS BIGINT) // 20 AS id_rsu, x0, y0, w, h,
+        |    hw AS zmin, hr AS zmax, hr - hw AS dh, w * h AS area,
+        |    power(power(w * h, 2) + 4 * w * h * power(hr - hw, 2), 0.5) AS nonvert,
+        |    power(w * h, 0.5) * (hr - hw) AS vert
+        |  FROM rects WHERE y0 < 80),
+        |pr AS (SELECT b.id_build AS idb, a.area AS area_a, b.area AS area_b, b.dh AS dh_b
+        |  FROM ini a JOIN ini b ON a.id_build <> b.id_build
+        |    AND a.x0 <= b.x0 + b.w AND b.x0 <= a.x0 + a.w
+        |    AND a.y0 <= b.y0 + b.h AND b.y0 <= a.y0 + a.h
+        |    AND a.zmin >= b.zmax),
+        |rm AS (SELECT idb AS id_build,
+        |    sum(CASE WHEN area_b > area_a THEN power(area_a, 0.5)
+        |      ELSE power(area_b, 0.5) END * dh_b / 2) AS rm
+        |  FROM pr GROUP BY 1),
+        |cl AS (SELECT i.id_rsu, i.zmin, i.zmax, i.dh, i.nonvert AS nv,
+        |    (i.vert - coalesce(rm.rm, 0.0)) * 1.0 AS vv
+        |  FROM ini i LEFT JOIN rm ON i.id_build = rm.id_build),
+        |lay AS (SELECT id_rsu,
+        |  CASE WHEN zmax <= 0 THEN 0 WHEN zmax <= 5 THEN
+        |      (CASE WHEN dh = 0 THEN nv ELSE nv * (zmax - greatest(0, zmin)) / dh END)
+        |    WHEN zmin < 5 THEN nv * (5 - greatest(0, zmin)) / dh ELSE 0 END AS nv1,
+        |  CASE WHEN zmax <= 5 THEN 0 WHEN zmax <= 10 THEN
+        |      (CASE WHEN dh = 0 THEN nv ELSE nv * (zmax - greatest(5, zmin)) / dh END)
+        |    WHEN zmin < 10 THEN nv * (10 - greatest(5, zmin)) / dh ELSE 0 END AS nv2,
+        |  CASE WHEN zmax <= 10 THEN 0 WHEN dh = 0 THEN nv
+        |    ELSE nv * (zmax - greatest(10, zmin)) / dh END AS nv3,
+        |  CASE WHEN zmax <= 0 THEN 0 WHEN zmax <= 5 THEN
+        |      (CASE WHEN dh = 0 THEN 0 ELSE vv * power((zmax - greatest(0, zmin)) / dh, 2) END)
+        |    WHEN zmin < 5 THEN
+        |      (CASE WHEN zmin > 0 THEN vv * (1 - power((zmax - 5) / dh, 2))
+        |        ELSE vv * (power((zmax - 0) / dh, 2) - power((zmax - 5) / dh, 2)) END)
+        |    ELSE 0 END AS v1,
+        |  CASE WHEN zmax <= 5 THEN 0 WHEN zmax <= 10 THEN
+        |      (CASE WHEN dh = 0 THEN 0 ELSE vv * power((zmax - greatest(5, zmin)) / dh, 2) END)
+        |    WHEN zmin < 10 THEN
+        |      (CASE WHEN zmin > 5 THEN vv * (1 - power((zmax - 10) / dh, 2))
+        |        ELSE vv * (power((zmax - 5) / dh, 2) - power((zmax - 10) / dh, 2)) END)
+        |    ELSE 0 END AS v2,
+        |  CASE WHEN zmax <= 10 THEN 0 WHEN dh = 0 THEN vv
+        |    ELSE vv * (zmax - greatest(10, zmin)) / dh END AS v3
+        |  FROM cl),
+        |g AS (SELECT id_rsu, sum(nv1) AS s1, sum(nv2) AS s2, sum(nv3) AS s3,
+        |    sum(v1) AS t1, sum(v2) AS t2, sum(v3) AS t3 FROM lay GROUP BY 1),
+        |bands AS (SELECT CAST(range AS BIGINT) AS id_rsu FROM range(0, 4))
+        |SELECT b.id_rsu,
+        |  round(coalesce(g.s1, 0.0), 6) AS non_vert_roof_area_h0_5,
+        |  round(coalesce(g.s2, 0.0), 6) AS non_vert_roof_area_h5_10,
+        |  round(coalesce(g.s3, 0.0), 6) AS non_vert_roof_area_h10,
+        |  round(coalesce(g.t1, 0.0), 6) AS vert_roof_area_h0_5,
+        |  round(coalesce(g.t2, 0.0), 6) AS vert_roof_area_h5_10,
+        |  round(coalesce(g.t3, 0.0), 6) AS vert_roof_area_h10,
+        |  round((coalesce(g.s1, 0.0) + coalesce(g.s2, 0.0) + coalesce(g.s3, 0.0)) / 4000.0, 6)
+        |    AS vert_roof_density,
+        |  round((coalesce(g.t1, 0.0) + coalesce(g.t2, 0.0) + coalesce(g.t3, 0.0)) / 4000.0, 6)
+        |    AS non_vert_roof_density
+        |FROM bands b LEFT JOIN g ON b.id_rsu = g.id_rsu ORDER BY b.id_rsu""".stripMargin,
     // For an axis-aligned rect, JTS MinimumDiameter(minimumRectangle) puts
     // the y-side length in the [0,15) bucket (ang7_5) and the x-side length
     // in the [90,105) bucket (ang97_5) — verified empirically and pinned by

@@ -209,6 +209,98 @@ object RsuIndicators {
   }
 
   /**
+   * Gable-roof area distribution per height layer — RsuIndicators.groovy:
+   * 661-862 (goldens: rsu1 → 405.25/56.48/289.27/45.64, rsu13 →
+   * 355.02/163.23/404.01/141.88/244.92/235.50/48.98/6.73):
+   * per building, non-vertical roof area √(A²+4AΔh²) and vertical roof area
+   * √A·Δh (gable model); vertical roof shared with a taller neighbor's
+   * facade removed (spatial self-join, a.z_min ≥ b.z_max); areas clipped to
+   * the RSU (polygon area ratio for non-vertical, boundary-length ratio
+   * halved for vertical); split across height layers linearly (non-vert) /
+   * quadratically (vert). `density` appends the two summary densities —
+   * with the reference's swapped output names replicated verbatim
+   * (optionalNonVert is aliased VERT_ROOF_DENSITY in the reference SQL).
+   * Building table needs id_build, id_rsu, the_geom, height_wall, height_roof.
+   */
+  def roofAreaDistribution(rsu: DataFrame, building: DataFrame,
+                           layersBottom: Seq[Double], grid: CellGrid, res: Int,
+                           density: Boolean = true): DataFrame = {
+    val ini = building.select(col("id_build"), col("id_rsu"), col("the_geom"),
+      col("height_roof").cast("double").as("z_max"),
+      col("height_wall").cast("double").as("z_min"))
+      .withColumn("building_area", G.stArea(col("the_geom")))
+      .withColumn("facade_len", G.stPerimeter(col("the_geom")) + G.stHolesPerim(col("the_geom")))
+      .withColumn("delta_h", col("z_max") - col("z_min"))
+      .withColumn("non_vert", pow(pow(col("building_area"), 2.0)
+        + lit(4.0) * col("building_area") * pow(col("delta_h"), 2.0), 0.5))
+      .withColumn("vert", pow(col("building_area"), 0.5) * col("delta_h"))
+
+    // vertical roof in contact with a taller neighbor's facade
+    val aSide = ini.select(col("id_build").as("__ida"), col("the_geom").as("__ga"),
+      col("building_area").as("__area_a"), col("z_min").as("__zmin_a"))
+    val bSide = ini.select(col("id_build").as("__idb"), col("the_geom").as("__gb"),
+      col("building_area").as("__area_b"), col("z_max").as("__zmax_b"),
+      col("delta_h").as("__dh_b"))
+    val toRemove = SpatialJoin.intersectsJoin(aSide, "__ga", bSide, "__gb", grid, res)
+      .where(col("__ida") =!= col("__idb") && col("__zmin_a") >= col("__zmax_b"))
+      .groupBy(col("__idb").as("id_build"))
+      .agg(sum(when(col("__area_b") > col("__area_a"), pow(col("__area_a"), 0.5))
+        .otherwise(pow(col("__area_b"), 0.5)) * col("__dh_b") / 2.0).as("__rm"))
+
+    val clipped = ini.join(toRemove, Seq("id_build"), "left")
+      .join(rsu.select(col("id_rsu"), col("the_geom").as("__rg")), "id_rsu")
+      .withColumn("nv", col("non_vert")
+        * G.stIntersectionArea(col("__rg"), col("the_geom")) / col("building_area"))
+      .withColumn("vv", (col("vert") - coalesce(col("__rm"), lit(0.0)))
+        * (lit(1.0) - lit(0.5) * (lit(1.0)
+          - G.stIntersectionLength(col("__rg"), G.stToMultiLine(col("the_geom"))) / col("facade_len"))))
+
+    val zmax = col("z_max"); val zmin = col("z_min"); val dh = col("delta_h")
+    val L = layersBottom.last
+    val nvCols: Seq[(String, Column)] =
+      layersBottom.sliding(2).toSeq.collect { case Seq(lo, hi) =>
+        s"non_vert_roof_area_h${fmt(lo)}_${fmt(hi)}" ->
+          when(zmax <= lo, 0.0)
+            .otherwise(when(zmax <= hi,
+              when(dh === 0, col("nv"))
+                .otherwise(col("nv") * (zmax - greatest(lit(lo), zmin)) / dh))
+              .otherwise(when(zmin < hi,
+                col("nv") * (lit(hi) - greatest(lit(lo), zmin)) / dh).otherwise(0.0)))
+      } :+ (s"non_vert_roof_area_h${fmt(L)}" ->
+        when(zmax <= L, 0.0).otherwise(when(dh === 0, col("nv"))
+          .otherwise(col("nv") * (zmax - greatest(lit(L), zmin)) / dh)))
+    val vCols: Seq[(String, Column)] =
+      layersBottom.sliding(2).toSeq.collect { case Seq(lo, hi) =>
+        s"vert_roof_area_h${fmt(lo)}_${fmt(hi)}" ->
+          when(zmax <= lo, 0.0)
+            .otherwise(when(zmax <= hi,
+              when(dh === 0, 0.0)
+                .otherwise(col("vv") * pow((zmax - greatest(lit(lo), zmin)) / dh, 2.0)))
+              .otherwise(when(zmin < hi,
+                when(zmin > lo, col("vv") * (lit(1.0) - pow((zmax - hi) / dh, 2.0)))
+                  .otherwise(col("vv") * (pow((zmax - lo) / dh, 2.0) - pow((zmax - hi) / dh, 2.0))))
+                .otherwise(0.0)))
+      } :+ (s"vert_roof_area_h${fmt(L)}" ->
+        when(zmax <= L, 0.0).otherwise(when(dh === 0, col("vv"))
+          .otherwise(col("vv") * (zmax - greatest(lit(L), zmin)) / dh)))
+
+    val allCols = nvCols ++ vCols
+    val agg = clipped.groupBy("id_rsu")
+      .agg(sum(allCols.head._2).as(allCols.head._1),
+        allCols.tail.map { case (n, c) => sum(c).as(n) }: _*)
+    val out0 = rsu.select(col("id_rsu"), G.stArea(col("the_geom")).as("__rsuarea"))
+      .join(agg, Seq("id_rsu"), "left")
+    val filled = allCols.map(_._1).foldLeft(out0) { (df, n) =>
+      df.withColumn(n, coalesce(col(n), lit(0.0)))
+    }
+    val withDens = if (!density) filled else filled
+      // NOTE: names swapped exactly as in the reference SQL
+      .withColumn("vert_roof_density", nvCols.map(c => col(c._1)).reduce(_ + _) / col("__rsuarea"))
+      .withColumn("non_vert_roof_density", vCols.map(c => col(c._1)).reduce(_ + _) / col("__rsuarea"))
+    withDens.drop("__rsuarea")
+  }
+
+  /**
    * Effective terrain roughness length z0 — RsuIndicators.groovy:901-957:
    * λf = Σ(all facade-distribution cells) / (nDir/2 · rsu_area); z0 =
    * min(3, h_geom · min(λf, 0.15)) (Hanna & Britter piecewise).
