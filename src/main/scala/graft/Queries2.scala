@@ -521,6 +521,34 @@ object Queries2 {
       a.unionByName(b, allowMissingColumns = true).orderBy("doc_id")
     }),
 
+    // -- simplified ground sky view factor = 1 - extended free facade
+    //    fraction over the 10m-buffered RSU (the default workflow's
+    //    svfSimplified=true path — WorkflowGeoIndicators.groovy:666-674) ----
+    "rsu_svf_simplified" -> ((s, dir) => {
+      val rects = rectLayer(s, dir)
+      val nb = BuildingIndicators.neighborsProperties(rects, grid, Res)
+        .select("id_build", "contiguity")
+      val b = rects.join(nb, "id_build")
+        .withColumn("total_facade_length", (col("w") + col("h")) * 2)
+      RsuIndicators.groundSkyViewFactorSimplified(b, facBands(s), 10.0, grid, Res)
+        .select(col("id_rsu"),
+          round(col("ground_sky_view_factor"), 6).as("ground_sky_view_factor"))
+        .orderBy("id_rsu")
+    }),
+
+    // -- exact free external facade density with snap-tolerance shared-wall
+    //    subtraction (RsuIndicators.groovy:108-214) -------------------------
+    "rsu_exact_facade_density" -> ((s, dir) => {
+      val b = rectLayer(s, dir)
+        .withColumn("id_rsu", floor(col("y0") / 20).cast("long"))
+        .where(col("id_rsu") < 4)
+        .select("id_build", "id_rsu", "the_geom", "height_wall")
+      RsuIndicators.freeExternalFacadeDensityExact(b, facBands(s))
+        .select(col("id_rsu"),
+          round(col("free_external_facade_density"), 9).as("free_external_facade_density"))
+        .orderBy("id_rsu")
+    }),
+
     // -- gable-roof area distribution per height layer + densities
     //    (RsuIndicators.groovy:661-862) -------------------------------------
     "rsu_roof_distribution" -> ((s, dir) => {
@@ -840,6 +868,54 @@ object Queries2 {
         |    ELSE (CASE WHEN 0.15 * gm.h > 3 THEN 3.0 ELSE 0.15 * gm.h END) END, 6)
         |    AS effective_terrain_roughness_length
         |FROM lf JOIN gm ON lf.id_rsu = gm.id_rsu ORDER BY lf.id_rsu""".stripMargin,
+    // Buffered band area: 4000 (rect) + 440*10 (edges) + 4 quarter-fans of
+    // radius 10 with quad_segs=2 (two 45-degree triangles each): 4*100*sin(pi/4).
+    "rsu_svf_simplified" ->
+      s"""WITH $rectsSql, $pairsSql,
+        |bandsx AS (SELECT CAST(range AS BIGINT) AS id_rsu,
+        |    CAST(range * 20 - 10 AS DOUBLE) AS b0, CAST(range * 20 + 30 AS DOUBLE) AS b1
+        |  FROM range(0, 4)),
+        |cj AS (SELECT bd.id_rsu, bd.b0, bd.b1, r.y0, r.h, r.w, r.hw, c.contiguity
+        |  FROM bandsx bd CROSS JOIN rects r JOIN contig c ON r.id_build = c.id_build),
+        |fa AS (SELECT id_rsu, sum(CASE WHEN y0 >= b0 AND y0 + h <= b1
+        |    THEN (1.0 - contiguity) * 2 * (w + h) * hw ELSE 0.0 END) AS fa
+        |  FROM cj GROUP BY 1),
+        |fb AS (SELECT id_rsu, sum(CASE WHEN y0 < b1 AND y0 + h > b0
+        |      AND NOT (y0 >= b0 AND y0 + h <= b1)
+        |    THEN (2 * (least(y0 + h, b1) - greatest(y0, b0))
+        |      + (CASE WHEN y0 >= b0 AND y0 <= b1 THEN w ELSE 0.0 END)
+        |      + (CASE WHEN y0 + h >= b0 AND y0 + h <= b1 THEN w ELSE 0.0 END)) * hw
+        |    ELSE 0.0 END) AS fb
+        |  FROM cj GROUP BY 1),
+        |buf AS (SELECT 4000.0 + 440.0 * 10.0 + 4 * 100.0 * sin(pi() / 4) AS barea)
+        |SELECT fa.id_rsu,
+        |  round(1.0 - (fa.fa + fb.fb) / (fa.fa + fb.fb + buf.barea), 6)
+        |    AS ground_sky_view_factor
+        |FROM fa JOIN fb ON fa.id_rsu = fb.id_rsu CROSS JOIN buf
+        |ORDER BY fa.id_rsu""".stripMargin,
+    "rsu_exact_facade_density" ->
+      s"""WITH $rectsSql,
+        |ini AS (SELECT id_build, CAST(y0 AS BIGINT) // 20 AS id_rsu, x0, y0, w, h, hw
+        |  FROM rects WHERE y0 < 80),
+        |fa AS (SELECT id_rsu, sum(2 * (w + h) * hw) AS fac FROM ini GROUP BY 1),
+        |pr AS (SELECT a.id_rsu,
+        |    (CASE WHEN greatest(0.0, least(a.x0 + a.w, b.x0 + b.w) - greatest(a.x0, b.x0)) > 0
+        |        AND greatest(0.0, least(a.y0 + a.h, b.y0 + b.h) - greatest(a.y0, b.y0)) = 0
+        |      THEN greatest(0.0, least(a.x0 + a.w, b.x0 + b.w) - greatest(a.x0, b.x0))
+        |      WHEN greatest(0.0, least(a.y0 + a.h, b.y0 + b.h) - greatest(a.y0, b.y0)) > 0
+        |        AND greatest(0.0, least(a.x0 + a.w, b.x0 + b.w) - greatest(a.x0, b.x0)) = 0
+        |      THEN greatest(0.0, least(a.y0 + a.h, b.y0 + b.h) - greatest(a.y0, b.y0))
+        |      ELSE 0.0 END) * least(a.hw, b.hw) AS sa
+        |  FROM ini a JOIN ini b ON a.id_rsu = b.id_rsu AND a.id_build <> b.id_build
+        |    AND a.x0 <= b.x0 + b.w AND b.x0 <= a.x0 + a.w
+        |    AND a.y0 <= b.y0 + b.h AND b.y0 <= a.y0 + a.h),
+        |sh AS (SELECT id_rsu, sum(sa) AS shared FROM pr GROUP BY 1),
+        |bands AS (SELECT CAST(range AS BIGINT) AS id_rsu FROM range(0, 4))
+        |SELECT b.id_rsu,
+        |  round(coalesce((fa.fac - coalesce(sh.shared, 0.0)) / 4000.0, 0.0), 9)
+        |    AS free_external_facade_density
+        |FROM bands b LEFT JOIN fa ON b.id_rsu = fa.id_rsu
+        |LEFT JOIN sh ON b.id_rsu = sh.id_rsu ORDER BY b.id_rsu""".stripMargin,
     "rsu_roof_distribution" ->
       s"""WITH $rectsSql,
         |ini AS (SELECT id_build, CAST(y0 AS BIGINT) // 20 AS id_rsu, x0, y0, w, h,

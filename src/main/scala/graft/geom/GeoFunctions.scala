@@ -41,6 +41,9 @@ object GeoFunctions {
   val stBufferMitre  = udf((b: Array[Byte], d: Double) => Geo.toWkb(Geo.bufferMitre(Geo.fromWkb(b), d)))
   val stBufferFlat   = udf((b: Array[Byte], d: Double) => Geo.toWkb(Geo.bufferFlat(Geo.fromWkb(b), d)))
   val stExpand       = udf((b: Array[Byte], d: Double) => Geo.toWkb(Geo.expand(Geo.fromWkb(b), d)))
+  /** ST_BUFFER with explicit quadrant segments (H2GIS 3-arg form). */
+  val stBufferQuad   = udf((b: Array[Byte], d: Double, quadSegs: Int) =>
+    Geo.toWkb(Geo.fromWkb(b).buffer(d, quadSegs)))
   val stPrecisionReduce = udf((b: Array[Byte], digits: Int) => Geo.toWkb(Geo.precisionReduce(Geo.fromWkb(b), digits)))
 
   // -- binary ops --
@@ -56,6 +59,7 @@ object GeoFunctions {
   val stContains   = udf((a: Array[Byte], b: Array[Byte]) => Geo.prepared(a).contains(Geo.fromWkb(b)))
   val stCovers     = udf((a: Array[Byte], b: Array[Byte]) => Geo.prepared(a).covers(Geo.fromWkb(b)))
   val stContainsPoint = udf((a: Array[Byte], x: Double, y: Double) => Geo.containsPointFast(a, x, y))
+  val stOverlaps   = udf((a: Array[Byte], b: Array[Byte]) => Geo.prepared(a).overlaps(Geo.fromWkb(b)))
 
   // -- distances --
   val stDistance    = udf((a: Array[Byte], b: Array[Byte]) => Geo.fromWkb(a).distance(Geo.fromWkb(b)))

@@ -24,6 +24,48 @@ object RsuIndicators {
         coalesce(col("__s") / G.stArea(col("the_geom")), lit(0.0)).as("free_external_facade_density"))
   }
 
+  /**
+   * Exact free external facade density — RsuIndicators.groovy:108-214
+   * (freeExternalFacadeDensityExact; goldens 0.28/0.28/0.25/0.25/0 and
+   * 0.16/0.04): building boundaries clipped to their RSU (via the prebuilt
+   * building↔RSU correlation), shared facades detected with a 0.01 snap
+   * tolerance and subtracted (each shared wall counted once per side, like
+   * the reference's ordered-pair sum), divided by RSU area; RSUs with no
+   * buildings keep 0.
+   */
+  def freeExternalFacadeDensityExact(buildingWithRsu: DataFrame, rsu: DataFrame,
+                                     idRsu: String = "id_rsu"): DataFrame = {
+    val snapTol = 0.01
+    val buildLine = buildingWithRsu
+      .join(rsu.select(col(idRsu), col("the_geom").as("__rg")), Seq(idRsu), "left")
+      .select(col("id_build"), col(idRsu), G.stArea(col("__rg")).as("__rsu_area"),
+        when(G.stContains(col("__rg"), col("the_geom")), G.stToMultiLine(col("the_geom")))
+          .otherwise(G.stLines(G.stIntersection(G.stToMultiLine(col("the_geom")), col("__rg"))))
+          .as("__lg"),
+        col("height_wall"))
+      .localCheckpoint() // reused by the shared-facade self-join
+    val bAlias = buildLine.select(col(idRsu), col("id_build").as("__idb"),
+      col("__lg").as("__lgb"), col("height_wall").as("__hwb"))
+    val shared = buildLine.join(bAlias, Seq(idRsu))
+      .where(col("id_build") =!= col("__idb"))
+      .withColumn("__snapped", G.stSnap(col("__lgb"), col("__lg"), lit(snapTol)))
+      .where(G.stIntersects(col("__lg"), col("__snapped")))
+      .groupBy(col(idRsu))
+      .agg(sum(G.stLength(G.stIntersection(col("__lg"), col("__snapped")))
+        * least(col("height_wall"), col("__hwb"))).as("__shared"))
+    val perRsu = buildLine.groupBy(col(idRsu))
+      .agg(min(col("__rsu_area")).as("__rsu_area"),
+        sum(G.stLength(col("__lg")) * col("height_wall")).as("__fac"))
+    rsu.select(idRsu)
+      .join(perRsu.join(shared, Seq(idRsu), "left")
+        .select(col(idRsu),
+          ((col("__fac") - coalesce(col("__shared"), lit(0.0))) / col("__rsu_area"))
+            .as("free_external_facade_density")),
+        Seq(idRsu), "left")
+      .select(col(idRsu),
+        coalesce(col("free_external_facade_density"), lit(0.0)).as("free_external_facade_density"))
+  }
+
   /** 0.5·free_external_facade_density/(1−building_density), null when
     * density=1 — RsuIndicators.groovy:383-404 (golden rsu1 = 0.672). */
   def aspectRatio(rsu: DataFrame, facadeDensityCol: String, buildingDensityCol: String): DataFrame =
@@ -38,6 +80,51 @@ object RsuIndicators {
     rsu.select(col("id_rsu"),
       when(col(aspectRatioCol) === 0, lit(null).cast("double"))
         .otherwise(col(avgHeightRoofCol) / col(aspectRatioCol)).as("street_width"))
+
+  /**
+   * Extended free facade fraction (SVF-fast input) —
+   * RsuIndicators.groovy:1340-1412 (golden: rsu1 buffDist 30 → 0.177):
+   * RSU buffered (quad_segs 2); facade areas of buildings fully covered by
+   * the buffer (Σ(1−contiguity)·facade_len·h_wall) plus boundary-clipped
+   * facade areas of partially overlapping buildings; fraction =
+   * fac/(fac + buffered_area). The default workflow derives the simplified
+   * ground SVF as 1 − this (WorkflowGeoIndicators.groovy:666-674).
+   * Buildings need the_geom, height_wall, contiguity, total_facade_length.
+   */
+  def extendedFreeFacadeFraction(building: DataFrame, rsu: DataFrame,
+                                 buffDist: Double, grid: CellGrid, res: Int): DataFrame = {
+    val ext = rsu.select(col("id_rsu"),
+      G.stBufferQuad(col("the_geom"), lit(buffDist), lit(2)).as("__ext"))
+    val b = building.select(col("the_geom"), col("height_wall"),
+      col("contiguity"), col("total_facade_length"))
+    val cand = SpatialJoin.candidates(ext, "__ext", b, "the_geom", grid, res)
+    val incl = cand.where(G.stCovers(col("__ext"), col("the_geom")))
+      .groupBy("id_rsu")
+      .agg(sum((lit(1.0) - col("contiguity")) * col("total_facade_length") * col("height_wall"))
+        .as("__fa"))
+    val full = ext.join(incl, Seq("id_rsu"), "left")
+      .select(col("id_rsu"), coalesce(col("__fa"), lit(0.0)).as("__fa"),
+        G.stArea(col("__ext")).as("__buff_area"))
+    val notInc = cand.where(G.stOverlaps(col("__ext"), col("the_geom")))
+      .withColumn("__len", G.stLength(
+        when(G.stContains(col("__ext"), col("the_geom")), G.stToMultiLine(col("the_geom")))
+          .otherwise(G.stIntersection(G.stToMultiLine(col("the_geom")), col("__ext")))))
+      .groupBy("id_rsu").agg(sum(col("__len") * col("height_wall")).as("__fb"))
+    full.join(notInc, Seq("id_rsu"), "left")
+      .select(col("id_rsu"),
+        coalesce((col("__fa") + col("__fb")) / (col("__fa") + col("__fb") + col("__buff_area")),
+          col("__fa") / (col("__fa") + col("__buff_area")))
+          .as("extended_free_facade_fraction"))
+  }
+
+  /** Simplified ground sky view factor = 1 − extendedFreeFacadeFraction
+    * (the default workflow path, svfSimplified=true —
+    * WorkflowGeoIndicators.groovy:666-674, 1079). */
+  def groundSkyViewFactorSimplified(building: DataFrame, rsu: DataFrame,
+                                    buffDist: Double, grid: CellGrid, res: Int): DataFrame =
+    extendedFreeFacadeFraction(building, rsu, buffDist, grid, res)
+      .select(col("id_rsu"),
+        (lit(1.0) - col("extended_free_facade_fraction")).as("ground_sky_view_factor"))
 
   /** building_fraction + free_external_facade_density —
     * RsuIndicators.groovy:1890-1916. */
