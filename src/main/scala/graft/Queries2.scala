@@ -521,6 +521,58 @@ object Queries2 {
       a.unionByName(b, allowMissingColumns = true).orderBy("doc_id")
     }),
 
+    // -- full overlay: smallestCommonGeometry atoms + priority/superposition
+    //    surface fractions (RsuIndicators.groovy:1473-1590, 1744-1869) ------
+    "rsu_overlay_fractions" -> ((s, dir) => {
+      val zones = Tiling.makeGrid(s, 0, 0, 150, 150, 50, 50)
+        .select(col("id_grid").as("id_rsu"), col("the_geom"))
+      val b = rectLayer(s, dir).select("the_geom")
+      val veg = t(s, dir, "documents").where(col("doc_id") < 400).select(
+        (col("doc_id") % 20 * 7).cast("double").as("vx"),
+        (floor(col("doc_id") / 20) % 20 * 7).cast("double").as("vy"),
+        (col("doc_id") % 5 + 2).cast("double").as("vw"),
+        (col("doc_id") * 3 % 5 + 2).cast("double").as("vh"))
+        .select(G.stMakeBox(col("vx"), col("vy"), col("vx") + col("vw"), col("vy") + col("vh"))
+          .as("the_geom"))
+      val water = t(s, dir, "documents").where(col("doc_id") < 169).select(
+        (col("doc_id") % 13 * 11).cast("double").as("wx"),
+        (floor(col("doc_id") / 13) % 13 * 11).cast("double").as("wy"),
+        (col("doc_id") % 7 + 2).cast("double").as("ww"),
+        (col("doc_id") * 7 % 7 + 2).cast("double").as("wh"))
+        .select(G.stMakeBox(col("wx"), col("wy"), col("wx") + col("ww"), col("wy") + col("wh"))
+          .as("the_geom"))
+      val scg = RsuIndicators.smallestCommonGeometry(zones,
+        Seq("water" -> water, "building" -> b, "high_vegetation" -> veg), grid, Res)
+      RsuIndicators.surfaceFractions(scg, zones,
+        Map("high_vegetation" -> Seq("water", "building")),
+        Seq("water", "building", "high_vegetation"))
+        .select(col("id_rsu"),
+          round(col("high_vegetation_fraction"), 9).as("high_vegetation_fraction"),
+          round(col("high_vegetation_water_fraction"), 9).as("high_vegetation_water_fraction"),
+          round(col("high_vegetation_building_fraction"), 9).as("high_vegetation_building_fraction"),
+          round(col("water_fraction"), 9).as("water_fraction"),
+          round(col("building_fraction"), 9).as("building_fraction"),
+          round(col("undefined_fraction"), 9).as("undefined_fraction"))
+        .orderBy("id_rsu")
+    }),
+
+    // -- TSU creation: node + polygonize a line mesh into faces
+    //    (SpatialUnits.groovy:108-146, reference golden = 9 faces for the
+    //    fixture roads; here a 4x4 grid mesh with exactly known faces) ------
+    "geo_tsu_polygonize" -> ((s, dir) => {
+      import s.implicits._
+      val wkts = (0 to 3).map(i => s"LINESTRING(${i * 20} 0, ${i * 20} 60)") ++
+        (0 to 3).map(j => s"LINESTRING(0 ${j * 20}, 60 ${j * 20})")
+      val lines = wkts.toDF("wkt")
+        .select(lit(1).as("id_zone"), G.stGeomFromWkt(col("wkt")).as("the_geom"))
+      graft.operators.SpatialUnits.createTSU(lines, "id_zone", "the_geom")
+        .select(col("id_rsu"),
+          round(G.stArea(col("the_geom")), 2).as("area"),
+          round(G.stX(G.stCentroid(col("the_geom"))), 2).as("cx"),
+          round(G.stY(G.stCentroid(col("the_geom"))), 2).as("cy"))
+        .orderBy("id_rsu")
+    }),
+
     // -- simplified ground sky view factor = 1 - extended free facade
     //    fraction over the 10m-buffered RSU (the default workflow's
     //    svfSimplified=true path — WorkflowGeoIndicators.groovy:666-674) ----
@@ -868,6 +920,61 @@ object Queries2 {
         |    ELSE (CASE WHEN 0.15 * gm.h > 3 THEN 3.0 ELSE 0.15 * gm.h END) END, 6)
         |    AS effective_terrain_roughness_length
         |FROM lf JOIN gm ON lf.id_rsu = gm.id_rsu ORDER BY lf.id_rsu""".stripMargin,
+    // inclusion-exclusion over three non-self-overlapping rect layers; each
+    // term is a sum of 1-D interval-overlap products with the zone box
+    "rsu_overlay_fractions" ->
+      s"""WITH $rectsSql, $zones9Sql,
+        |veg AS (SELECT CAST(doc_id % 20 * 7 AS DOUBLE) AS vx,
+        |    CAST((doc_id // 20) % 20 * 7 AS DOUBLE) AS vy,
+        |    CAST(doc_id % 5 + 2 AS DOUBLE) AS vw, CAST(doc_id * 3 % 5 + 2 AS DOUBLE) AS vh
+        |  FROM documents WHERE doc_id < 400),
+        |wat AS (SELECT CAST(doc_id % 13 * 11 AS DOUBLE) AS wx,
+        |    CAST((doc_id // 13) % 13 AS DOUBLE) * 11 AS wy,
+        |    CAST(doc_id % 7 + 2 AS DOUBLE) AS ww, CAST(doc_id * 7 % 7 + 2 AS DOUBLE) AS wh
+        |  FROM documents WHERE doc_id < 169),
+        |ab AS (SELECT z.idz, sum(greatest(0.0, least(r.x0+r.w, z.zx+50) - greatest(r.x0, z.zx))
+        |    * greatest(0.0, least(r.y0+r.h, z.zy+50) - greatest(r.y0, z.zy))) AS a
+        |  FROM z9 z CROSS JOIN rects r GROUP BY 1),
+        |av AS (SELECT z.idz, sum(greatest(0.0, least(v.vx+v.vw, z.zx+50) - greatest(v.vx, z.zx))
+        |    * greatest(0.0, least(v.vy+v.vh, z.zy+50) - greatest(v.vy, z.zy))) AS a
+        |  FROM z9 z CROSS JOIN veg v GROUP BY 1),
+        |aw AS (SELECT z.idz, sum(greatest(0.0, least(w.wx+w.ww, z.zx+50) - greatest(w.wx, z.zx))
+        |    * greatest(0.0, least(w.wy+w.wh, z.zy+50) - greatest(w.wy, z.zy))) AS a
+        |  FROM z9 z CROSS JOIN wat w GROUP BY 1),
+        |abv AS (SELECT z.idz,
+        |    sum(greatest(0.0, least(r.x0+r.w, v.vx+v.vw, z.zx+50) - greatest(r.x0, v.vx, z.zx))
+        |      * greatest(0.0, least(r.y0+r.h, v.vy+v.vh, z.zy+50) - greatest(r.y0, v.vy, z.zy))) AS a
+        |  FROM z9 z CROSS JOIN rects r CROSS JOIN veg v GROUP BY 1),
+        |abw AS (SELECT z.idz,
+        |    sum(greatest(0.0, least(r.x0+r.w, w.wx+w.ww, z.zx+50) - greatest(r.x0, w.wx, z.zx))
+        |      * greatest(0.0, least(r.y0+r.h, w.wy+w.wh, z.zy+50) - greatest(r.y0, w.wy, z.zy))) AS a
+        |  FROM z9 z CROSS JOIN rects r CROSS JOIN wat w GROUP BY 1),
+        |avw AS (SELECT z.idz,
+        |    sum(greatest(0.0, least(v.vx+v.vw, w.wx+w.ww, z.zx+50) - greatest(v.vx, w.wx, z.zx))
+        |      * greatest(0.0, least(v.vy+v.vh, w.wy+w.wh, z.zy+50) - greatest(v.vy, w.wy, z.zy))) AS a
+        |  FROM z9 z CROSS JOIN veg v CROSS JOIN wat w GROUP BY 1),
+        |abvw AS (SELECT z.idz,
+        |    sum(greatest(0.0, least(r.x0+r.w, v.vx+v.vw, w.wx+w.ww, z.zx+50) - greatest(r.x0, v.vx, w.wx, z.zx))
+        |      * greatest(0.0, least(r.y0+r.h, v.vy+v.vh, w.wy+w.wh, z.zy+50) - greatest(r.y0, v.vy, w.wy, z.zy))) AS a
+        |  FROM z9 z CROSS JOIN rects r CROSS JOIN veg v CROSS JOIN wat w GROUP BY 1)
+        |SELECT z.idz AS id_rsu,
+        |  round((av.a - avw.a - abv.a + abvw.a) / 2500.0, 9) AS high_vegetation_fraction,
+        |  round(avw.a / 2500.0, 9) AS high_vegetation_water_fraction,
+        |  round((abv.a - abvw.a) / 2500.0, 9) AS high_vegetation_building_fraction,
+        |  round((aw.a - avw.a) / 2500.0, 9) AS water_fraction,
+        |  round((ab.a - abw.a - abv.a + abvw.a) / 2500.0, 9) AS building_fraction,
+        |  round(1.0 - ((av.a - avw.a - abv.a + abvw.a) + avw.a + (abv.a - abvw.a)
+        |    + (aw.a - avw.a) + (ab.a - abw.a - abv.a + abvw.a)) / 2500.0, 9) AS undefined_fraction
+        |FROM z9 z JOIN ab ON z.idz = ab.idz JOIN av ON z.idz = av.idz JOIN aw ON z.idz = aw.idz
+        |JOIN abv ON z.idz = abv.idz JOIN abw ON z.idz = abw.idz JOIN avw ON z.idz = avw.idz
+        |JOIN abvw ON z.idz = abvw.idz ORDER BY id_rsu""".stripMargin,
+    "geo_tsu_polygonize" ->
+      """SELECT id_rsu, CAST(area AS DOUBLE) AS area,
+        |  CAST(cx AS DOUBLE) AS cx, CAST(cy AS DOUBLE) AS cy
+        |FROM (VALUES (1, 400.0, 10.0, 10.0), (2, 400.0, 10.0, 30.0), (3, 400.0, 10.0, 50.0),
+        |  (4, 400.0, 30.0, 10.0), (5, 400.0, 30.0, 30.0), (6, 400.0, 30.0, 50.0),
+        |  (7, 400.0, 50.0, 10.0), (8, 400.0, 50.0, 30.0), (9, 400.0, 50.0, 50.0))
+        |  AS t(id_rsu, area, cx, cy) ORDER BY id_rsu""".stripMargin,
     // Buffered band area: 4000 (rect) + 440*10 (edges) + 4 quarter-fans of
     // radius 10 with quad_segs=2 (two 45-degree triangles each): 4*100*sin(pi/4).
     "rsu_svf_simplified" ->

@@ -412,6 +412,122 @@ object RsuIndicators {
   }
 
   /**
+   * Smallest common geometry — RsuIndicators.groovy:1473-1590: the input
+   * layers are clipped per RSU, their linework noded + polygonized, and each
+   * resulting atom flagged by which layers cover its interior point. The
+   * per-RSU overlay is a single task (polygonization is whole-graph); RSUs
+   * parallelize across the cluster, candidates come from the cell-equijoin.
+   *
+   * @param layers (name, DataFrame with the_geom) in a fixed order; flags
+   *               come out as one Int column per layer name.
+   * @return id_rsu, area, <layer flag columns>
+   */
+  def smallestCommonGeometry(rsu: DataFrame, layers: Seq[(String, DataFrame)],
+                             grid: CellGrid, res: Int): DataFrame = {
+    import org.locationtech.jts.operation.polygonize.Polygonizer
+    import org.locationtech.jts.operation.union.UnaryUnionOp
+    import org.locationtech.jts.geom.prep.PreparedGeometryFactory
+    import scala.jdk.CollectionConverters._
+    import graft.geom.Geo
+
+    val layerNames = layers.map(_._1)
+    val r = rsu.select(col("id_rsu"), col("the_geom"))
+    val clipped = layers.map { case (name, df) =>
+      SpatialJoin.candidates(r, "the_geom",
+          df.select(col("the_geom").as("__lg")), "__lg", grid, res)
+        .where(G.stIntersects(col("the_geom"), col("__lg")))
+        .select(col("id_rsu"), lit(name).as("__layer"),
+          G.stIntersection(col("the_geom"), col("__lg")).as("__clip"))
+    }.reduce(_ unionAll _)
+
+    val names = layerNames // stable closure copy
+    val overlay = udf { (items: Seq[org.apache.spark.sql.Row]) =>
+      val geoms = items.map(row => (row.getString(0), Geo.fromWkb(row.getAs[Array[Byte]](1))))
+        .filter(!_._2.isEmpty)
+      val lines = new java.util.ArrayList[org.locationtech.jts.geom.Geometry](geoms.size)
+      geoms.foreach { case (_, g) => lines.add(Geo.toMultiLine(g)) }
+      val noded = UnaryUnionOp.union(lines)
+      val pz = new Polygonizer()
+      pz.add(noded)
+      val preps = geoms.map { case (n, g) => (n, PreparedGeometryFactory.prepare(g)) }
+      pz.getPolygons.asScala.toSeq.map { f0 =>
+        val f = f0.asInstanceOf[org.locationtech.jts.geom.Geometry]
+        val pos = f.getInteriorPoint
+        val flags = names.map(n => if (preps.exists(p => p._1 == n && p._2.contains(pos))) 1 else 0)
+        (f.getArea, flags)
+      }.filter(_._2.exists(_ == 1)).toArray
+    }
+    clipped.groupBy("id_rsu")
+      .agg(collect_list(struct(col("__layer"), col("__clip"))).as("__items"))
+      .select(col("id_rsu"), explode(overlay(col("__items"))).as("__atom"))
+      .select(col("id_rsu") +: (col("__atom._1").as("area") +:
+        layerNames.zipWithIndex.map { case (n, i) =>
+          element_at(col("__atom._2"), i + 1).as(n)
+        }): _*)
+  }
+
+  /**
+   * Priority/superposition surface fractions over the smallest-common-
+   * geometry atoms — RsuIndicators.groovy:1744-1869 with the reference's
+   * exact column-generation algorithm (the SQL-string loops become Column
+   * loops 1:1): per superposing layer, its alone-fraction and one combo
+   * fraction per overlapped layer (earlier overlapped layers zeroed);
+   * then per-priority individual fractions with all earlier priorities
+   * zeroed and later-priority superposing layers zeroed; finally
+   * undefined_fraction = 1 − Σ.
+   */
+  def surfaceFractions(scg: DataFrame, rsu: DataFrame,
+                       superpositions: Map[String, Seq[String]],
+                       priorities: Seq[String]): DataFrame = {
+    val layers = priorities
+    val prioIdx = priorities.zipWithIndex.toMap
+    var aggs = Seq.empty[(String, Column)]
+    superpositions.foreach { case (key, values) =>
+      val othersZero = layers.filterNot(_ == key).map(col(_) === 0).reduce(_ && _)
+      aggs :+= (s"${key}_fraction" ->
+        sum(when(col(key) === 1 && othersZero, col("area")).otherwise(0.0)))
+      val notOverlapped = priorities.filterNot(values.contains).filterNot(_ == key)
+      val nonOverlappedCond = notOverlapped
+        .filter(v => prioIdx(key) > prioIdx(v)).map(col(_) === 0)
+      var var2Zero = Seq.empty[String]
+      priorities.filterNot(_ == key).foreach { v =>
+        if (values.contains(v)) {
+          val conds = Seq(col(key) === 1, col(v) === 1) ++
+            var2Zero.map(col(_) === 0) ++ nonOverlappedCond
+          aggs :+= (s"${key}_${v}_fraction" ->
+            sum(when(conds.reduce(_ && _), col("area")).otherwise(0.0)))
+        }
+        var2Zero :+= v
+      }
+    }
+    var var2Zero = Seq.empty[String]
+    priorities.foreach { v =>
+      val zeroConds = var2Zero.map(col(_) === 0)
+      var2Zero :+= v
+      if (!superpositions.contains(v)) {
+        val nonOverlapped = superpositions.toSeq.collect {
+          case (key, values) if values.contains(v) && prioIdx(key) > prioIdx(v) =>
+            col(key) === 0
+        }
+        val conds = (col(v) === 1) +: (zeroConds ++ nonOverlapped)
+        aggs :+= (s"${v}_fraction" ->
+          sum(when(conds.reduce(_ && _), col("area")).otherwise(0.0)))
+      }
+    }
+    val grouped = scg.groupBy("id_rsu")
+      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    val joined = rsu.select(col("id_rsu"), G.stArea(col("the_geom")).as("__rsuarea"))
+      .join(grouped, Seq("id_rsu"), "left")
+    val fractions = aggs.map(_._1)
+    val filled = fractions.foldLeft(joined) { (df, n) =>
+      df.withColumn(n, coalesce(col(n), lit(0.0)) / col("__rsuarea"))
+    }
+    filled
+      .withColumn("undefined_fraction", lit(1.0) - fractions.map(col).reduce(_ + _))
+      .drop("__rsuarea")
+  }
+
+  /**
    * Surface-fraction superposition for two layers (building × high
    * vegetation) — the output semantics of the reference's
    * smallestCommunGeometry + surfaceFractions chain
