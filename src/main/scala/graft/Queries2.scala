@@ -521,6 +521,32 @@ object Queries2 {
       a.unionByName(b, allowMissingColumns = true).orderBy("doc_id")
     }),
 
+    // -- OSM-style way assembly: node/way tables -> geometries
+    //    (osmtools Transform.groovy toPolygons/toLines) ---------------------
+    "osm_way_assembly" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 40 * 5).cast("double").as("x0"),
+        (floor(col("doc_id") / 40) * 5).cast("double").as("y0"),
+        (col("doc_id") % 4 + 2).cast("double").as("w"),
+        (floor(col("doc_id") / 4) % 4 + 2).cast("double").as("h"))
+      // 5 ordered ring nodes per way; node ids unique per (way, corner)
+      val corners = d.select(col("doc_id").as("way_id"), explode(array(
+        struct(lit(0).as("pos"), col("x0").as("x"), col("y0").as("y")),
+        struct(lit(1).as("pos"), (col("x0") + col("w")).as("x"), col("y0").as("y")),
+        struct(lit(2).as("pos"), (col("x0") + col("w")).as("x"), (col("y0") + col("h")).as("y")),
+        struct(lit(3).as("pos"), col("x0").as("x"), (col("y0") + col("h")).as("y")),
+        struct(lit(4).as("pos"), col("x0").as("x"), col("y0").as("y")))).as("c"))
+      val nodes = corners.select(
+        (col("way_id") * 8 + col("c.pos")).as("node_id"), col("c.x").as("x"), col("c.y").as("y"))
+      val wayNodes = corners.select(col("way_id"), col("c.pos").as("pos"),
+        (col("way_id") * 8 + col("c.pos")).as("node_id"))
+      graft.sources.OsmAssembly.assembleWays(wayNodes, nodes)
+        .select(col("way_id"),
+          round(G.stArea(col("the_geom")), 9).as("area"),
+          round(G.stPerimeter(col("the_geom")), 9).as("perimeter"))
+        .orderBy("way_id")
+    }),
+
     // -- full overlay: smallestCommonGeometry atoms + priority/superposition
     //    surface fractions (RsuIndicators.groovy:1473-1590, 1744-1869) ------
     "rsu_overlay_fractions" -> ((s, dir) => {
@@ -920,6 +946,11 @@ object Queries2 {
         |    ELSE (CASE WHEN 0.15 * gm.h > 3 THEN 3.0 ELSE 0.15 * gm.h END) END, 6)
         |    AS effective_terrain_roughness_length
         |FROM lf JOIN gm ON lf.id_rsu = gm.id_rsu ORDER BY lf.id_rsu""".stripMargin,
+    "osm_way_assembly" ->
+      s"""WITH $rectsSql
+        |SELECT id_build AS way_id, round(w * h, 9) AS area,
+        |  round(2 * (w + h), 9) AS perimeter
+        |FROM rects ORDER BY way_id""".stripMargin,
     // inclusion-exclusion over three non-self-overlapping rect layers; each
     // term is a sum of 1-D interval-overlap products with the zone box
     "rsu_overlay_fractions" ->
