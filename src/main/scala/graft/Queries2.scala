@@ -521,6 +521,21 @@ object Queries2 {
       a.unionByName(b, allowMissingColumns = true).orderBy("doc_id")
     }),
 
+    // -- frontal area index distribution (RsuIndicators.groovy:2092-2313):
+    //    negative shared-facade rows, orientation-aware sin projection ------
+    "rsu_frontal_index" -> ((s, dir) => {
+      val b = rectLayer(s, dir)
+        .withColumn("id_rsu", floor(col("y0") / 20).cast("long"))
+        .where(col("id_rsu") < 4 &&
+          !(col("y0") % 20 === 0 || (col("y0") % 20 === 15 && col("h") === 5)))
+        .select("id_build", "id_rsu", "the_geom", "height_wall")
+      val names = for (l <- Seq("h0_5", "h5_10", "h10_13"); k <- 0 until 4)
+        yield s"frontal_area_index_${l}_d${k * 90}_${(k + 1) * 90}"
+      RsuIndicators.frontalAreaIndexDistribution(b, facBands(s), Seq(0, 5, 10), 4)
+        .select(col("id_rsu") +: names.map(n => round(col(n), 6).as(n)): _*)
+        .orderBy("id_rsu")
+    }),
+
     // -- OSM-style way assembly: node/way tables -> geometries
     //    (osmtools Transform.groovy toPolygons/toLines) ---------------------
     "osm_way_assembly" -> ((s, dir) => {
@@ -946,6 +961,58 @@ object Queries2 {
         |    ELSE (CASE WHEN 0.15 * gm.h > 3 THEN 3.0 ELSE 0.15 * gm.h END) END, 6)
         |    AS effective_terrain_roughness_length
         |FROM lf JOIN gm ON lf.id_rsu = gm.id_rsu ORDER BY lf.id_rsu""".stripMargin,
+    // Own boundary edges carry the ring orientation of stMakeBox (CCW:
+    // bottom=east pi/2, right=north 0, top=west 3pi/2, left=south pi);
+    // JTS intersection linework follows the FIRST operand's traversal, so a
+    // negative shared row cancels in the same direction bucket as its
+    // building's own edge (probed empirically, pinned by FrontalSpec).
+    "rsu_frontal_index" -> {
+      val dirs = (0 until 4).map(k => (k, s"(($k + 0.5) * pi() / 2)"))
+      val layers = Seq(
+        ("h0_5", "hw > 0", "(CASE WHEN hw >= 5 THEN 1.0 ELSE (hw - 0) / 5.0 END)"),
+        ("h5_10", "hw > 5", "(CASE WHEN hw >= 10 THEN 1.0 ELSE (hw - 5) / 5.0 END)"),
+        ("h10_13", "hw > 10", "((hw - 10) / 3.0)"))
+      val cells = for {
+        (ln, cond, hf) <- layers
+        (k, v) <- dirs
+      } yield {
+        val proj = s"(CASE WHEN $v > az AND $v - az < pi() THEN len * sin($v - az) * $hf " +
+          s"WHEN $v - az < -pi() THEN len * sin($v + 2 * pi() - az) * $hf ELSE 0.0 END)"
+        s"round(coalesce(sum(CASE WHEN $cond THEN $proj ELSE 0.0 END), 0.0) / 4000.0, 6)" +
+          s" AS frontal_area_index_${ln}_d${k * 90}_${(k + 1) * 90}"
+      }
+      val outs = (for { (ln, _, _) <- layers; k <- 0 until 4 } yield {
+        val n = s"frontal_area_index_${ln}_d${k * 90}_${(k + 1) * 90}"
+        s"coalesce(g.$n, 0.0) AS $n"
+      }).mkString(",\n  ")
+      s"""WITH $rectsSql,
+        |ini AS (SELECT id_build, CAST(y0 AS BIGINT) // 20 AS id_rsu, x0, y0, w, h, hw
+        |  FROM rects WHERE y0 < 80
+        |    AND NOT (CAST(y0 AS BIGINT) % 20 = 0 OR (CAST(y0 AS BIGINT) % 20 = 15 AND h = 5))),
+        |own AS (
+        |  SELECT id_rsu, w AS len, pi()/2 AS az, hw FROM ini
+        |  UNION ALL SELECT id_rsu, h, 0.0, hw FROM ini
+        |  UNION ALL SELECT id_rsu, w, 3*pi()/2, hw FROM ini
+        |  UNION ALL SELECT id_rsu, h, pi(), hw FROM ini),
+        |tch AS (SELECT a.id_rsu, a.x0 AS ax, a.y0 AS ay, b.x0 AS bx, b.y0 AS by2,
+        |    least(a.hw, b.hw) AS hw,
+        |    greatest(0.0, least(a.x0+a.w, b.x0+b.w) - greatest(a.x0, b.x0)) AS xov,
+        |    greatest(0.0, least(a.y0+a.h, b.y0+b.h) - greatest(a.y0, b.y0)) AS yov
+        |  FROM ini a JOIN ini b ON a.id_rsu = b.id_rsu AND a.id_build <> b.id_build
+        |    AND a.x0 <= b.x0 + b.w AND b.x0 <= a.x0 + a.w
+        |    AND a.y0 <= b.y0 + b.h AND b.y0 <= a.y0 + a.h),
+        |prs AS (SELECT id_rsu,
+        |    -(CASE WHEN yov > 0 AND xov = 0 THEN yov ELSE xov END) AS len,
+        |    (CASE WHEN yov > 0 AND xov = 0 THEN (CASE WHEN bx > ax THEN 0.0 ELSE pi() END)
+        |      ELSE (CASE WHEN by2 > ay THEN 3*pi()/2 ELSE pi()/2 END) END) AS az,
+        |    hw
+        |  FROM tch WHERE (yov > 0 AND xov = 0) OR (xov > 0 AND yov = 0)),
+        |rows_all AS (SELECT * FROM own UNION ALL SELECT * FROM prs WHERE len < 0),
+        |bands AS (SELECT CAST(range AS BIGINT) AS id_rsu FROM range(0, 4)),
+        |g AS (SELECT id_rsu, ${cells.mkString(",\n  ")} FROM rows_all GROUP BY 1)
+        |SELECT b.id_rsu, $outs
+        |FROM bands b LEFT JOIN g ON b.id_rsu = g.id_rsu ORDER BY b.id_rsu""".stripMargin
+    },
     "osm_way_assembly" ->
       s"""WITH $rectsSql
         |SELECT id_build AS way_id, round(w * h, 9) AS area,

@@ -100,6 +100,15 @@ object GeoFunctions {
       (x1, y1, x2, y2, len, azDeg)
     }
   }
+  /** Segments with RAW azimuth (radians in [0,2π), clockwise from north) —
+    * orientation-preserving, unlike stSegments' [0,180) normalization;
+    * needed where facing direction matters (frontal area index). */
+  val stSegmentsRaw = udf { (b: Array[Byte]) =>
+    Geo.segments(Geo.fromWkb(b)).map { case (x1, y1, x2, y2) =>
+      (math.hypot(x2 - x1, y2 - y1), Geo.azimuth(x1, y1, x2, y2))
+    }
+  }
+
   /** ST_EXPLODE: one WKB per member of a GeometryCollection. */
   val stExplode = udf { (b: Array[Byte]) =>
     val g = Geo.fromWkb(b)

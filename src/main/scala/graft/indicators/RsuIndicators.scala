@@ -296,6 +296,88 @@ object RsuIndicators {
   }
 
   /**
+   * Frontal area index distribution — RsuIndicators.groovy:2092-2313
+   * (goldens: rsu1 h0_5_d30_60 → 0.00566, h50_61_d30_60 → 0.00321):
+   * building boundaries clipped to their RSU (id-correlation), shared
+   * facades (snap 0.01) re-entered with NEGATIVE length and the MIN wall
+   * height (so the net is the exposed strip above the shorter neighbor),
+   * each segment projected onto every direction it FACES (raw azimuth,
+   * orientation preserved), split across height layers; the last layer's
+   * top is max(height_wall)+1 like the reference. One fused aggregate pass
+   * instead of the reference's per-layer temp tables.
+   */
+  def frontalAreaIndexDistribution(buildingWithRsu: DataFrame, rsu: DataFrame,
+                                   layersBottom: Seq[Double] = Seq(0, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50),
+                                   numDirection: Int = 12): DataFrame = {
+    require(360 % numDirection == 0 && numDirection % 2 == 0)
+    val snapTol = 0.01
+    val buildLine = buildingWithRsu
+      .join(rsu.select(col("id_rsu"), col("the_geom").as("__rg")), Seq("id_rsu"), "left")
+      .select(col("id_build"), col("id_rsu"),
+        when(G.stContains(col("__rg"), col("the_geom")), col("the_geom"))
+          .otherwise(G.stLines(G.stIntersection(G.stToMultiLine(col("the_geom")), col("__rg"))))
+          .as("__lg"),
+        col("height_wall").cast("double").as("height_wall"))
+      .localCheckpoint()
+    val bAlias = buildLine.select(col("id_rsu"), col("id_build").as("__idb"),
+      col("__lg").as("__lgb"), col("height_wall").as("__hwb"))
+    val shared = buildLine.join(bAlias, Seq("id_rsu"))
+      .where(col("id_build") =!= col("__idb"))
+      .withColumn("__snapped", G.stSnap(col("__lgb"), col("__lg"), lit(snapTol)))
+      .where(G.stIntersects(col("__lg"), col("__snapped")))
+      .select(col("id_rsu"),
+        explode(G.stSegmentsRaw(G.stIntersection(col("__lg"), col("__snapped")))).as("s"),
+        least(col("height_wall"), col("__hwb")).as("hw"))
+      .select(col("id_rsu"), (-col("s._1")).as("len"), col("s._2").as("az"), col("hw"))
+    val own = buildLine
+      .select(col("id_rsu"), explode(G.stSegmentsRaw(col("__lg"))).as("s"),
+        col("height_wall").as("hw"))
+      .where(col("s._1") > 0)
+      .select(col("id_rsu"), col("s._1").as("len"), col("s._2").as("az"), col("hw"))
+    val lines = shared.unionAll(own).localCheckpoint()
+
+    val maxH = buildingWithRsu.agg(max(col("height_wall"))).head() match {
+      case r if r.isNullAt(0) => 1.0
+      case r => r.getAs[Any](0).toString.toDouble.toInt + 1.0
+    }
+    val angleRangeRad = 2 * math.Pi / numDirection
+    val angleRangeDeg = 360 / numDirection
+    val hw = col("hw"); val az = col("az"); val len = col("len")
+
+    def proj(v: Double, heightFactor: Column): Column =
+      when(lit(v) > az && lit(v) - az < math.Pi, len * sin(lit(v) - az) * heightFactor)
+        .otherwise(when(lit(v) - az < -math.Pi,
+          len * sin(lit(v) + 2 * math.Pi - az) * heightFactor).otherwise(0.0))
+
+    val midLayers = layersBottom.sliding(2).toSeq.collect { case Seq(lb, lt) =>
+      (lb, lt, s"h${fmt(lb)}_${fmt(lt)}")
+    }
+    val lastLb = layersBottom.last
+    val allAggs = (for {
+      (lb, lt, ln) <- midLayers :+ ((lastLb, maxH, s"h${fmt(lastLb)}_${fmt(maxH)}"))
+      k <- 0 until numDirection
+    } yield {
+      val v = (k + 0.5) * angleRangeRad
+      val isLast = lb == lastLb
+      val hf =
+        if (isLast) (hw - lb) / (maxH - lastLb)
+        else when(hw >= lt, lit(1.0)).otherwise((hw - lb) / (lt - lb))
+      val name = s"frontal_area_index_${ln}_d${k * angleRangeDeg}_${(k + 1) * angleRangeDeg}"
+      sum(when(hw > lb, proj(v, hf)).otherwise(0.0)).as(name)
+    }).toSeq
+    val outNames = (for {
+      (lb, lt, ln) <- midLayers :+ ((lastLb, maxH, s"h${fmt(lastLb)}_${fmt(maxH)}"))
+      k <- 0 until numDirection
+    } yield s"frontal_area_index_${ln}_d${k * angleRangeDeg}_${(k + 1) * angleRangeDeg}").toSeq
+
+    val agg = lines.groupBy("id_rsu").agg(allAggs.head, allAggs.tail: _*)
+    rsu.select(col("id_rsu"), G.stArea(col("the_geom")).as("__area"))
+      .join(agg, Seq("id_rsu"), "left")
+      .select(col("id_rsu") +: outNames.map(n =>
+        coalesce(col(n) / col("__area"), lit(0.0)).as(n)): _*)
+  }
+
+  /**
    * Gable-roof area distribution per height layer — RsuIndicators.groovy:
    * 661-862 (goldens: rsu1 → 405.25/56.48/289.27/45.64, rsu13 →
    * 355.02/163.23/404.01/141.88/244.92/235.50/48.98/6.73):
