@@ -77,7 +77,9 @@ object Bench {
     val scalingOnly = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("scaling")
 
     if (scalingOnly) {
-      val (rps8a, rps2) = scalingPair(2, 8, scaleRows, reps = 3)
+      // 2x rows for the slow pair: amortizes per-run fixed overhead (which
+      // otherwise penalizes the FAST side's short runs and deflates the ratio)
+      val (rps8a, rps2) = scalingPair(2, 8, scaleRows * 2, reps = 3)
       val (rps32, rps8b) = scalingPair(8, 32, scaleRows, reps = 3)
       println(f"""{"rows":$scaleRows,"n2":$rps2%.0f,"n8a":$rps8a%.0f,"eff_2_8":${(rps8a / rps2) / 4.0}%.3f,""" +
         f""""n8b":$rps8b%.0f,"n32":$rps32%.0f,"eff_8_32":${(rps32 / rps8b) / 4.0}%.3f}""")
@@ -99,7 +101,7 @@ object Bench {
     //    (what a real 4x executor scale-up preserves — each executor brings
     //    its own memory bus); 8->32 additionally reports the single-box
     //    bandwidth-saturated figure.
-    val (rps8a, rps2) = scalingPair(2, 8, scaleRows, reps = 3)
+    val (rps8a, rps2) = scalingPair(2, 8, scaleRows * 2, reps = 3)
     val (rps32, rps8b) = scalingPair(8, 32, scaleRows, reps = 3)
     val eff28 = (rps8a / rps2) / 4.0
     val eff832 = (rps32 / rps8b) / 4.0
