@@ -391,6 +391,16 @@ object Queries2 {
         .orderBy("id_zone")
     }),
 
+    // -- per-cell distance to the containing polygon's boundary
+    //    (GridIndicators.groovy:293-329 gridDistances) -----------------------
+    "grid_distances" -> ((s, dir) => {
+      val cells = Tiling.makeGrid(s, 0, 0, 200, 80, 5, 5)
+        .select(col("id_grid"), col("the_geom"))
+      GridIndicators.gridDistances(facBands(s).select(col("the_geom")), cells, grid, Res)
+        .select(col("id_grid"), round(col("distance"), 9).as("distance"))
+        .orderBy("id_grid")
+    }),
+
     // -- grid LOD pyramid: weighted mode with count/weight tiebreak
     //    (GridIndicators.groovy:126-280) ------------------------------------
     "grid_lod_mode" -> ((s, dir) => {
@@ -870,6 +880,17 @@ object Queries2 {
         |  round(coalesce(g.a_low, 0.0) / 2500.0, 9) AS area_fraction_low,
         |  round(coalesce(g.a_high, 0.0) / 2500.0, 9) AS area_fraction_high
         |FROM z9 z LEFT JOIN g ON z.idz = g.idz ORDER BY id_zone""".stripMargin,
+    "grid_distances" ->
+      """WITH cells AS (SELECT CAST(range AS BIGINT) AS id_grid,
+        |    CAST(range % 40 AS DOUBLE) * 5 + 2.5 AS cx,
+        |    CAST(range // 40 AS DOUBLE) * 5 + 2.5 AS cy
+        |  FROM range(0, 640)),
+        |bands AS (SELECT CAST(range * 20 AS DOUBLE) AS b0, CAST(range * 20 + 20 AS DOUBLE) AS b1
+        |  FROM range(0, 4))
+        |SELECT c.id_grid,
+        |  round(least(c.cx - 0.0, 200.0 - c.cx, c.cy - b.b0, b.b1 - c.cy), 9) AS distance
+        |FROM cells c JOIN bands b ON c.cy > b.b0 AND c.cy < b.b1
+        |ORDER BY c.id_grid""".stripMargin,
     "grid_lod_mode" ->
       s"""WITH $gridCellsSql,
         |lod AS (SELECT (id_row - 1) // 3 AS lod_row, (id_col - 1) // 3 AS lod_col, lcz FROM cells),

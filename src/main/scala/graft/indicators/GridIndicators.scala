@@ -3,6 +3,9 @@ package graft.indicators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.geom.{GeoFunctions => G}
+import graft.index.CellGrid
+import graft.operators.SpatialJoin
 
 /**
  * Grid-scale indicators — Spark re-expression of the reference's
@@ -61,6 +64,25 @@ object GridIndicators {
       .select(col("id_row"), col("id_col"),
         coalesce(col("__n"), lit(0L)).as("n_neighbors"),
         coalesce(col("__s"), lit(0L)).as("sum_neighbors"))
+  }
+
+  /**
+   * Distance of each grid cell (centroid inside a polygon) to that polygon's
+   * boundary — GridIndicators.groovy:293-329, there a driver-side Groovy
+   * double loop with per-row JDBC batch inserts over an IndexedFacetDistance;
+   * here ONE cell-equijoin point-in-polygon join + a boundary-distance
+   * expression (set-based, no row-at-a-time IO).
+   */
+  def gridDistances(polygons: DataFrame, gridCells: DataFrame,
+                    grid: CellGrid, res: Int): DataFrame = {
+    val cells = gridCells.select(col("id_grid"),
+      G.stX(G.stCentroid(col("the_geom"))).as("__cx"),
+      G.stY(G.stCentroid(col("the_geom"))).as("__cy"))
+    SpatialJoin.pointInPolygon(cells, "__cx", "__cy",
+        polygons.select(col("the_geom").as("__pg")), "__pg", grid, res)
+      .select(col("id_grid"),
+        G.stDistance(G.stToMultiLine(col("__pg")),
+          G.stPoint(col("__cx"), col("__cy"))).as("distance"))
   }
 
   /**
