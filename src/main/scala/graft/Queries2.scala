@@ -687,6 +687,21 @@ object Queries2 {
         .orderBy("id_a", "id_b")
     }),
 
+    // -- the flagship's polygon half: footprints extracted from html,
+    //    max-overlap-assigned to the fixture RSU polygons (the north star's
+    //    "extracted footprint polygons joined against reference polygons") --
+    "pages_footprints" -> ((s, dir) => {
+      val pages = Pages.synth(s, 20000)
+        .withColumn("wkt", Pages.extractFootprintWkt(col("html")))
+        .where(col("wkt").isNotNull)
+        .withColumn("fp", G.stGeomFromWkt(col("wkt")))
+      val rsu = GeoFixture.rsuDf(s).select("id_rsu", "the_geom")
+      SpatialJoin.assignMaxOverlap(pages, "i", "fp", rsu, "id_rsu", "the_geom", grid, Res)
+        .groupBy(col("id_rsu").cast("long").as("id_rsu"))
+        .agg(count(lit(1)).as("n_pages"))
+        .orderBy("id_rsu")
+    }),
+
     // ====================== rows-only checks (no SQL oracle) ===============
     // MinHash+LSH near-dup pairs (banded signature equi-join + exact verify);
     // xxhash64 has no DuckDB equivalent, so the driver records rows-only.
@@ -1244,6 +1259,24 @@ object Queries2 {
         .map { case (blk, b) => s"($b, $blk)" }.sorted.mkString(", ")
       s"""SELECT * FROM (VALUES $rows) AS t(id_build, id_block) ORDER BY id_build"""
     },
+    "pages_footprints" ->
+      s"""WITH p AS (SELECT i,
+        |    round(CASE WHEN i % 100 < 20 THEN 29.0 + ((i*1103515245 + 12345) % 2147483648) % 2000 / 1000.0
+        |      ELSE ((i*1103515245 + 12345) % 2147483648) % 55000 / 1000.0 + 0.0005 END, 4) AS x,
+        |    round(CASE WHEN i % 100 < 20 THEN 29.0 + ((i*69069 + 1) % 2147483648) % 2000 / 1000.0
+        |      ELSE ((i*69069 + 1) % 2147483648) % 55000 / 1000.0 - 15.0 + 0.0005 END, 4) AS y
+        |  FROM (SELECT range AS i FROM range(0, 20000)) WHERE i % 10 < 3),
+        |${Queries.rsuRectsSql},
+        |ov AS (SELECT p.i, r.id_rsu,
+        |      greatest(0.0, least(p.x + 2.0, r.xmax) - greatest(p.x, r.xmin))
+        |    * greatest(0.0, least(p.y + 2.0, r.ymax) - greatest(p.y, r.ymin)) AS ia
+        |  FROM p JOIN rsu r ON p.x + 2.0 > r.xmin AND p.x < r.xmax
+        |    AND p.y + 2.0 > r.ymin AND p.y < r.ymax),
+        |best AS (SELECT i, id_rsu FROM (
+        |    SELECT i, id_rsu, row_number() OVER (PARTITION BY i ORDER BY ia DESC, id_rsu DESC) AS rn
+        |    FROM ov WHERE ia > 0) WHERE rn = 1)
+        |SELECT CAST(id_rsu AS BIGINT) AS id_rsu, count(*) AS n_pages
+        |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
     "pages_e2e" ->
       s"""WITH p AS (SELECT i,
         |    CASE WHEN i % 100 < 20 THEN 29.0 + ((i*1103515245 + 12345) % 2147483648) % 2000 / 1000.0
