@@ -9,8 +9,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.all("geo_pip_join")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all ++ Queries2.all
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all ++ Queries2.all ++ Queries3.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.oracles ++ Queries2.oracles
+  def oracleSql: Map[String, String] = Queries.oracles ++ Queries2.oracles ++ Queries3.oracles
 }
