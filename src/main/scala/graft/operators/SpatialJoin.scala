@@ -55,6 +55,17 @@ object SpatialJoin {
   /** cover(geom,res) as a UDF bound to a grid. */
   def coverUdf(grid: CellGrid, res: Int) =
     udf((wkb: Array[Byte]) => grid.cover(Geo.fromWkb(wkb), res))
+
+  /** cover cells with an interior flag: cells containsProperly-covered by
+    * the polygon need NO point-level refinement (every point of such a cell
+    * is in the polygon INTERIOR — exact, not approximate). */
+  def coverFlagUdf(grid: CellGrid, res: Int) =
+    udf { (wkb: Array[Byte]) =>
+      val g = Geo.fromWkb(wkb)
+      val cands = grid.cover(g, res)
+      val prep = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(g)
+      cands.map(id => (id, prep.containsProperly(grid.boundsGeom(id))))
+    }
   def compactCoverUdf(grid: CellGrid, res: Int, minRes: Int) =
     udf((wkb: Array[Byte]) => grid.compactCover(Geo.fromWkb(wkb), res, minRes))
   def cellUdf(grid: CellGrid, res: Int) =
@@ -80,7 +91,11 @@ object SpatialJoin {
                      polys: DataFrame, geomCol: String,
                      grid: CellGrid, res: Int,
                      broadcastPolys: Boolean = true, salts: Int = 1): DataFrame = {
-    val polyCells0 = polys.withColumn(CellCol, explode(coverUdf(grid, res)(col(geomCol))))
+    val polyCells0 = polys
+      .withColumn("__cf", explode(coverFlagUdf(grid, res)(col(geomCol))))
+      .withColumn(CellCol, col("__cf._1"))
+      .withColumn("__interior", col("__cf._2"))
+      .drop("__cf")
     // point side stays pure Catalyst (codegen'd integer math — no UDF on the
     // 10^12-row side); bit-identical to CellGrid.cell (CellGridSpec property)
     val ptCells0   = points.withColumn(CellCol, cellColumn(grid, res, col(xCol), col(yCol)))
@@ -90,9 +105,11 @@ object SpatialJoin {
             ptCells0.withColumn(SaltCol, pmod(xxhash64(col(xCol), col(yCol)), lit(salts)).cast("int")),
             Seq(CellCol, SaltCol))
     val polySide = if (broadcastPolys) broadcast(polyCells) else polyCells
+    // interior-cell fast path: points whose cell is containsProperly-covered
+    // skip the JTS predicate entirely (most cells of a large polygon cover)
     ptCells.join(polySide, keys)
-      .where(G.stContainsPoint(col(geomCol), col(xCol), col(yCol)))
-      .drop(CellCol, SaltCol)
+      .where(col("__interior") || G.stContainsPoint(col(geomCol), col(xCol), col(yCol)))
+      .drop(CellCol, SaltCol, "__interior")
   }
 
   /**
