@@ -113,6 +113,52 @@ object SpatialJoin {
   }
 
   /**
+   * Point-in-polygon join over a COMPACT (mixed-resolution) cover: the
+   * polygon side emits interior cells at the coarsest resolution that fits
+   * (quadtree compaction — the H3 `compact` semantics the north rule names),
+   * so a city-sized polygon covers in O(perimeter) cells instead of
+   * O(area). The join runs as one equi-join per resolution present in the
+   * compacted cover (point cell ids at coarser resolutions are pure-Catalyst
+   * ancestor bit-math), unioned; interior cells skip refinement entirely.
+   *
+   * Resolutions present are discovered with one tiny aggregation over the
+   * (small) polygon side — a deliberate driver round-trip, same class as
+   * collecting a broadcast side.
+   */
+  def pointInPolygonCompact(points: DataFrame, xCol: String, yCol: String,
+                            polys: DataFrame, geomCol: String,
+                            grid: CellGrid, res: Int, minRes: Int = 4,
+                            broadcastPolys: Boolean = true): DataFrame = {
+    val compactUdf = udf { (wkb: Array[Byte]) =>
+      val g = Geo.fromWkb(wkb)
+      val cells = grid.compactCover(g, res, minRes)
+      val prep = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(g)
+      // a compact cell is interior iff containsProperly (cells emitted above
+      // `res` are covered but may touch the boundary; check exactly)
+      cells.map(id => (id, prep.containsProperly(grid.boundsGeom(id))))
+    }
+    val polyCells = polys
+      .withColumn("__cf", explode(compactUdf(col(geomCol))))
+      .withColumn(CellCol, col("__cf._1"))
+      .withColumn("__interior", col("__cf._2"))
+      .drop("__cf")
+      .localCheckpoint() // tiny; reused once per resolution level
+    import scala.jdk.CollectionConverters._
+    val resolutions = polyCells
+      .select(shiftrightunsigned(col(CellCol), 58).cast("int").as("__res"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val joined = resolutions.map { r =>
+      val polySide0 = polyCells.where(shiftrightunsigned(col(CellCol), 58) === r)
+      val polySide = if (broadcastPolys) broadcast(polySide0) else polySide0
+      points.withColumn(CellCol, cellColumn(grid, r, col(xCol), col(yCol)))
+        .join(polySide, CellCol)
+    }.reduce(_ unionAll _)
+    joined
+      .where(col("__interior") || G.stContainsPoint(col(geomCol), col(xCol), col(yCol)))
+      .drop(CellCol, "__interior")
+  }
+
+  /**
    * Candidate pairs of two polygon/line sets intersecting by cell, with
    * reference-point dedup (pair emitted only in the cell containing the
    * upper-left corner of the bbox intersection). Columns of both inputs are
