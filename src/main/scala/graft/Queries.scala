@@ -35,13 +35,13 @@ object Queries {
   private val Res = 10
 
   // ---- deterministic geocode of documents (pure Catalyst, codegen'd) ------
-  private def docPoints(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docPoints(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"), col("n_chars"),
       ((col("doc_id") * 1103515245L + 12345L) % 2147483648L % 55000L).cast("double") / 1000.0 as "x",
       (((col("doc_id") * 69069L + 1L) % 2147483648L % 55000L).cast("double") / 1000.0 - 15.0) as "y")
 
-  private val docPointsSql =
+  private[graft] val docPointsSql =
     """pts AS (SELECT doc_id, n_chars,
       |  CAST((doc_id * 1103515245 + 12345) % 2147483648 % 55000 AS DOUBLE) / 1000.0 AS x,
       |  CAST((doc_id * 69069 + 1) % 2147483648 % 55000 AS DOUBLE) / 1000.0 - 15.0 AS y

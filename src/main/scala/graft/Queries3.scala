@@ -173,6 +173,17 @@ object Queries3 {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- compact-cover (mixed-resolution) point-in-polygon: must agree with
+    //    the fixed-res join, so it shares geo_pip_join's oracle ------------
+    "geo_pip_compact" -> ((s, dir) => {
+      val rsu = graft.fixtures.GeoFixture.rsuDf(s).select("id_rsu", "the_geom")
+      graft.operators.SpatialJoin.pointInPolygonCompact(
+          Queries.docPoints(s, dir), "x", "y", rsu, "the_geom",
+          graft.index.CellGrid.fixture, 10)
+        .select(col("doc_id"), col("id_rsu").cast("long").as("id_rsu"))
+        .orderBy("doc_id")
+    }),
+
     // -- the full LCZ classifier over synthetic indicator rows: every branch
     //    (rural tree / industrial override / urban min-distance incl. LCZ1
     //    masking, tie order, equality + uniqueness) oracle-verified ---------
@@ -193,5 +204,10 @@ object Queries3 {
     }))
 
   val oracles: Map[String, String] = Map(
+    "geo_pip_compact" ->
+      s"""WITH ${Queries.docPointsSql}, ${Queries.rsuRectsSql}
+        |SELECT doc_id, CAST(id_rsu AS BIGINT) AS id_rsu FROM pts JOIN rsu
+        |ON x > xmin AND x < xmax AND y > ymin AND y < ymax
+        |ORDER BY doc_id""".stripMargin,
     "lcz_classify_synth" -> lczSynthOracle)
 }
