@@ -51,6 +51,40 @@ object Tiling {
       .groupBy("id_col", "id_row").agg(aggs.head, aggs.tail: _*)
 
   /**
+   * ESRI ASCII raster sink — the reference's `saveToAscGrid`
+   * (WorkflowUtilities.groovy:168-215): header + values ordered id_row DESC
+   * then id_col ASC, 3-decimal fixed point, nulls/missing cells → -9999.
+   * The raster is bounded (ncols×nrows), so one driver-side write is the
+   * right shape; web-scale output stays in the lake as parquet tiles and
+   * only final rasters render to .asc.
+   */
+  def writeAsc(gridValues: DataFrame, valueCol: String, path: String,
+               xll: Double, yll: Double, cellSize: Double,
+               nCols: Int, nRows: Int): Unit = {
+    val cells = gridValues
+      .select(col("id_col").cast("int"), col("id_row").cast("int"),
+        col(valueCol).cast("double"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    val sb = new StringBuilder()
+    sb.append(s"ncols $nCols\nnrows $nRows\nxllcorner $xll\nyllcorner $yll\n")
+    sb.append(s"cellsize $cellSize\nnodata_value -9999\n")
+    for (row <- nRows to 1 by -1) {
+      val line = (1 to nCols).map { c =>
+        cells.get((c, row)).flatten match {
+          case Some(v) => new java.math.BigDecimal(v)
+            .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
+          case None => "-9999"
+        }
+      }.mkString(" ")
+      sb.append(line).append('\n')
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /**
    * Zonal area stats with pivot (reference upperScaleAreaStatistics):
    * for each zone, the area of each class of `lower` geometries inside it,
    * as a fraction of zone area; zones with nothing keep 0 fractions.
