@@ -172,7 +172,30 @@ object Queries3 {
       |FROM e ORDER BY id_rsu""".stripMargin
   }
 
+  private val RoadOsmTypes =
+    Array("motorway", "trunk", "primary", "secondary", "tertiary",
+      "residential", "service", "track", "footway", "cycleway")
+  private val RoadSurfaces = Array("asphalt", "concrete", "paved", "gravel", "sett")
+
+  private def roadsSynth(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id").as("id_road"),
+      element_at(lit(RoadOsmTypes), (col("doc_id") % 10 + 1).cast("int")).as("type"),
+      when(col("doc_id") % 3 === 0, -1)
+        .otherwise((col("doc_id") % 90 + 20).cast("int")).cast("int").as("maxspeed"),
+      (col("doc_id") % 5).cast("int").as("direction"),
+      when(col("doc_id") % 7 === 6, lit(null).cast("string"))
+        .otherwise(element_at(lit(RoadSurfaces), (col("doc_id") % 5 + 1).cast("int")))
+        .as("surface"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- road traffic enrichment (RoadIndicators.groovy:56-262): OSM type ->
+    //    traffic class, CNOSSOS flows per period/direction, speeds, pavement --
+    "road_traffic" -> ((s, dir) => {
+      graft.indicators.RoadIndicators.buildRoadTraffic(roadsSynth(s, dir))
+        .orderBy("id_source")
+    }),
+
     // -- compact-cover (mixed-resolution) point-in-polygon: must agree with
     //    the fixed-res join, so it shares geo_pip_join's oracle ------------
     "geo_pip_compact" -> ((s, dir) => {
@@ -203,7 +226,55 @@ object Queries3 {
         .orderBy("id_rsu")
     }))
 
+  private lazy val roadTrafficOracle: String = {
+    import graft.indicators.RoadIndicators._
+    val rtVals = RoadTypes.flatMap { case (cls, vals) =>
+      vals.map(v => s"('$v', '$cls')") }.mkString(", ")
+    val msVals = RoadTypes.map { case (cls, _) => s"('$cls', ${MaxSpeed(cls)})" }.mkString(", ")
+    def flVals(halved: Boolean) = RoadTypes.map { case (cls, _) =>
+      val (a, b, c, d, e, f) = perHour(cls, halved)
+      s"('$cls', $a, $b, $c, $d, $e, $f)"
+    }.mkString(", ")
+    val pvVals = Pavements.toSeq.sorted.map { case (k, v) => s"('$k', '$v')" }.mkString(", ")
+    val osmList = RoadOsmTypes.map(t => s"'$t'").mkString(", ")
+    val surfList = RoadSurfaces.map(t => s"'$t'").mkString(", ")
+    s"""WITH roads AS (SELECT doc_id AS id_road,
+      |    ([$osmList])[CAST(doc_id % 10 + 1 AS INT)] AS type,
+      |    CAST(CASE WHEN doc_id % 3 = 0 THEN -1 ELSE doc_id % 90 + 20 END AS INTEGER) AS maxspeed,
+      |    CAST(doc_id % 5 AS INTEGER) AS direction,
+      |    CASE WHEN doc_id % 7 = 6 THEN NULL
+      |      ELSE ([$surfList])[CAST(doc_id % 5 + 1 AS INT)] END AS surface
+      |  FROM documents),
+      |rt(osm, cls) AS (VALUES $rtVals),
+      |ms(cls, speed) AS (VALUES $msVals),
+      |fh(cls, dlv, dhv, nlv, nhv, elv, ehv) AS (VALUES ${flVals(halved = true)}),
+      |ff(cls, dlv, dhv, nlv, nhv, elv, ehv) AS (VALUES ${flVals(halved = false)}),
+      |pv(surface, p) AS (VALUES $pvVals)
+      |SELECT CAST(r.id_road AS VARCHAR) AS id_source, rt.cls AS road_type,
+      |  r.type AS source_road_type, r.surface, r.direction,
+      |  CAST(NULL AS DOUBLE) AS slope,
+      |  coalesce(pv.p, 'NL05') AS pavement,
+      |  CAST(CASE WHEN r.direction IN (1,2) THEN fh.dlv WHEN r.direction = 3 THEN ff.dlv ELSE 0 END AS BIGINT) AS day_lv_hour,
+      |  CAST(CASE WHEN r.direction IN (1,2) THEN fh.dhv WHEN r.direction = 3 THEN ff.dhv ELSE 0 END AS BIGINT) AS day_hv_hour,
+      |  CAST(CASE WHEN r.maxspeed = -1 THEN ms.speed ELSE r.maxspeed END AS INTEGER) AS day_lv_speed,
+      |  CAST(CASE WHEN r.maxspeed = -1 THEN ms.speed ELSE r.maxspeed END AS INTEGER) AS day_hv_speed,
+      |  CAST(CASE WHEN r.direction IN (1,2) THEN fh.nlv WHEN r.direction = 3 THEN ff.nlv ELSE 0 END AS BIGINT) AS night_lv_hour,
+      |  CAST(CASE WHEN r.direction IN (1,2) THEN fh.nhv WHEN r.direction = 3 THEN ff.nhv ELSE 0 END AS BIGINT) AS night_hv_hour,
+      |  CAST(CASE WHEN r.maxspeed = -1 THEN ms.speed ELSE r.maxspeed END AS INTEGER) AS night_lv_speed,
+      |  CAST(CASE WHEN r.maxspeed = -1 THEN ms.speed ELSE r.maxspeed END AS INTEGER) AS night_hv_speed,
+      |  CAST(CASE WHEN r.direction IN (1,2) THEN fh.elv WHEN r.direction = 3 THEN ff.elv ELSE 0 END AS BIGINT) AS ev_lv_hour,
+      |  CAST(CASE WHEN r.direction IN (1,2) THEN fh.ehv WHEN r.direction = 3 THEN ff.ehv ELSE 0 END AS BIGINT) AS ev_hv_hour,
+      |  CAST(CASE WHEN r.maxspeed = -1 THEN ms.speed ELSE r.maxspeed END AS INTEGER) AS ev_lv_speed,
+      |  CAST(CASE WHEN r.maxspeed = -1 THEN ms.speed ELSE r.maxspeed END AS INTEGER) AS ev_hv_speed
+      |FROM roads r JOIN rt ON r.type = rt.osm
+      |JOIN ms ON rt.cls = ms.cls
+      |JOIN fh ON rt.cls = fh.cls JOIN ff ON rt.cls = ff.cls
+      |LEFT JOIN pv ON r.surface = pv.surface
+      |ORDER BY id_source""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "road_traffic" -> roadTrafficOracle,
     "geo_pip_compact" ->
       s"""WITH ${Queries.docPointsSql}, ${Queries.rsuRectsSql}
         |SELECT doc_id, CAST(id_rsu AS BIGINT) AS id_rsu FROM pts JOIN rsu
