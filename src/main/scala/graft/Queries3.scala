@@ -196,6 +196,38 @@ object Queries3 {
         .orderBy("id_source")
     }),
 
+    // -- ground layer (priority overlay) + acoustic absorption
+    //    (RsuIndicators.groovy groundLayer + NoiseIndicators.groovy:61-108) --
+    "noise_ground_absorption" -> ((s, dir) => {
+      import graft.geom.{GeoFunctions => G}
+      val zones = graft.operators.Tiling.makeGrid(s, 0, 0, 150, 150, 50, 50)
+        .select(col("id_grid").as("id_rsu"), col("the_geom"))
+      def layer(cellW: Int, nCells: Int, limit: Int, wMod: Int, hMod: Int, typ: String) =
+        t(s, dir, "documents").where(col("doc_id") < limit).select(
+          (col("doc_id") % nCells * cellW).cast("double").as("lx"),
+          (floor(col("doc_id") / nCells) % nCells * cellW).cast("double").as("ly"),
+          (col("doc_id") % wMod + 2).cast("double").as("lw"),
+          (col("doc_id") * 3 % hMod + 2).cast("double").as("lh"),
+          lit(typ).as("type"))
+          .select(G.stMakeBox(col("lx"), col("ly"), col("lx") + col("lw"), col("ly") + col("lh"))
+            .as("the_geom"), col("type"))
+      val water = layer(11, 13, 169, 7, 7, "water")
+      val hv = layer(7, 20, 400, 5, 5, "tree")
+      val lv = layer(9, 15, 225, 6, 6, "grass")
+      val ground = graft.indicators.RsuIndicators.groundLayer(zones,
+        Seq("water" -> water, "high_vegetation" -> hv, "low_vegetation" -> lv),
+        graft.indicators.NoiseIndicators.LayerPriorities,
+        graft.index.CellGrid.fixture, 10)
+      graft.indicators.NoiseIndicators.groundAcousticAbsorption(ground)
+        .groupBy("id_rsu")
+        .agg(
+          round(sum(when(col("layer") === "water", col("area")).otherwise(0.0)), 9).as("area_water"),
+          round(sum(when(col("layer") === "high_vegetation", col("area")).otherwise(0.0)), 9).as("area_hv"),
+          round(sum(when(col("layer") === "low_vegetation", col("area")).otherwise(0.0)), 9).as("area_lv"),
+          round(sum(col("g") * col("area")), 9).as("g_area"))
+        .orderBy("id_rsu")
+    }),
+
     // -- compact-cover (mixed-resolution) point-in-polygon: must agree with
     //    the fixed-res join, so it shares geo_pip_join's oracle ------------
     "geo_pip_compact" -> ((s, dir) => {
@@ -275,6 +307,56 @@ object Queries3 {
 
   val oracles: Map[String, String] = Map(
     "road_traffic" -> roadTrafficOracle,
+    // dominant-layer areas by priority (water > high_veg > low_veg) via
+    // inclusion-exclusion over the non-self-overlapping rect layers
+    "noise_ground_absorption" ->
+      """WITH z9 AS (SELECT CAST(range AS BIGINT) AS idz,
+        |    CAST(range % 3 AS DOUBLE) * 50 AS zx, CAST(range // 3 AS DOUBLE) * 50 AS zy
+        |  FROM range(0, 9)),
+        |wat AS (SELECT CAST(doc_id % 13 * 11 AS DOUBLE) AS x, CAST((doc_id // 13) % 13 * 11 AS DOUBLE) AS y,
+        |    CAST(doc_id % 7 + 2 AS DOUBLE) AS w, CAST(doc_id * 3 % 7 + 2 AS DOUBLE) AS h
+        |  FROM documents WHERE doc_id < 169),
+        |hv AS (SELECT CAST(doc_id % 20 * 7 AS DOUBLE) AS x, CAST((doc_id // 20) % 20 * 7 AS DOUBLE) AS y,
+        |    CAST(doc_id % 5 + 2 AS DOUBLE) AS w, CAST(doc_id * 3 % 5 + 2 AS DOUBLE) AS h
+        |  FROM documents WHERE doc_id < 400),
+        |lv AS (SELECT CAST(doc_id % 15 * 9 AS DOUBLE) AS x, CAST((doc_id // 15) % 15 * 9 AS DOUBLE) AS y,
+        |    CAST(doc_id % 6 + 2 AS DOUBLE) AS w, CAST(doc_id * 3 % 6 + 2 AS DOUBLE) AS h
+        |  FROM documents WHERE doc_id < 225),
+        |aw AS (SELECT z.idz, sum(greatest(0.0, least(a.x+a.w, z.zx+50) - greatest(a.x, z.zx))
+        |    * greatest(0.0, least(a.y+a.h, z.zy+50) - greatest(a.y, z.zy))) AS s
+        |  FROM z9 z CROSS JOIN wat a GROUP BY 1),
+        |ah AS (SELECT z.idz, sum(greatest(0.0, least(a.x+a.w, z.zx+50) - greatest(a.x, z.zx))
+        |    * greatest(0.0, least(a.y+a.h, z.zy+50) - greatest(a.y, z.zy))) AS s
+        |  FROM z9 z CROSS JOIN hv a GROUP BY 1),
+        |al AS (SELECT z.idz, sum(greatest(0.0, least(a.x+a.w, z.zx+50) - greatest(a.x, z.zx))
+        |    * greatest(0.0, least(a.y+a.h, z.zy+50) - greatest(a.y, z.zy))) AS s
+        |  FROM z9 z CROSS JOIN lv a GROUP BY 1),
+        |ahw AS (SELECT z.idz, sum(greatest(0.0, least(a.x+a.w, b.x+b.w, z.zx+50) - greatest(a.x, b.x, z.zx))
+        |    * greatest(0.0, least(a.y+a.h, b.y+b.h, z.zy+50) - greatest(a.y, b.y, z.zy))) AS s
+        |  FROM z9 z CROSS JOIN hv a CROSS JOIN wat b GROUP BY 1),
+        |alw AS (SELECT z.idz, sum(greatest(0.0, least(a.x+a.w, b.x+b.w, z.zx+50) - greatest(a.x, b.x, z.zx))
+        |    * greatest(0.0, least(a.y+a.h, b.y+b.h, z.zy+50) - greatest(a.y, b.y, z.zy))) AS s
+        |  FROM z9 z CROSS JOIN lv a CROSS JOIN wat b GROUP BY 1),
+        |alh AS (SELECT z.idz, sum(greatest(0.0, least(a.x+a.w, b.x+b.w, z.zx+50) - greatest(a.x, b.x, z.zx))
+        |    * greatest(0.0, least(a.y+a.h, b.y+b.h, z.zy+50) - greatest(a.y, b.y, z.zy))) AS s
+        |  FROM z9 z CROSS JOIN lv a CROSS JOIN hv b GROUP BY 1),
+        |alhw AS (SELECT z.idz,
+        |    sum(greatest(0.0, least(a.x+a.w, b.x+b.w, c.x+c.w, z.zx+50) - greatest(a.x, b.x, c.x, z.zx))
+        |      * greatest(0.0, least(a.y+a.h, b.y+b.h, c.y+c.h, z.zy+50) - greatest(a.y, b.y, c.y, z.zy))) AS s
+        |  FROM z9 z CROSS JOIN lv a CROSS JOIN hv b CROSS JOIN wat c GROUP BY 1)
+        |SELECT z.idz AS id_rsu,
+        |  round(coalesce(aw.s, 0.0), 9) AS area_water,
+        |  round(coalesce(ah.s, 0.0) - coalesce(ahw.s, 0.0), 9) AS area_hv,
+        |  round(coalesce(al.s, 0.0) - coalesce(alw.s, 0.0) - coalesce(alh.s, 0.0)
+        |    + coalesce(alhw.s, 0.0), 9) AS area_lv,
+        |  round(0.0 * coalesce(aw.s, 0.0)
+        |    + 1.0 * (coalesce(ah.s, 0.0) - coalesce(ahw.s, 0.0))
+        |    + 0.7 * (coalesce(al.s, 0.0) - coalesce(alw.s, 0.0) - coalesce(alh.s, 0.0)
+        |      + coalesce(alhw.s, 0.0)), 9) AS g_area
+        |FROM z9 z LEFT JOIN aw ON z.idz = aw.idz LEFT JOIN ah ON z.idz = ah.idz
+        |LEFT JOIN al ON z.idz = al.idz LEFT JOIN ahw ON z.idz = ahw.idz
+        |LEFT JOIN alw ON z.idz = alw.idz LEFT JOIN alh ON z.idz = alh.idz
+        |LEFT JOIN alhw ON z.idz = alhw.idz ORDER BY id_rsu""".stripMargin,
     "geo_pip_compact" ->
       s"""WITH ${Queries.docPointsSql}, ${Queries.rsuRectsSql}
         |SELECT doc_id, CAST(id_rsu AS BIGINT) AS id_rsu FROM pts JOIN rsu

@@ -549,6 +549,67 @@ object RsuIndicators {
   }
 
   /**
+   * Ground layer — RsuIndicators.groovy:2430-2615 (groundLayer): the layers
+   * are clipped per zone, polygonized into atoms, and each atom takes the
+   * (layer, type) of the covering geometry with the best (priority, geometry
+   * area) rank — the reference's `first_value(type) over (partition by
+   * id_ground order by priority, area)`. Per-zone single-task overlay like
+   * smallestCommonGeometry.
+   *
+   * @param layers (name, df(the_geom, type)) — priority = position in
+   *               `priorities`
+   * @return (id_rsu, area, layer, type) one row per atom
+   */
+  def groundLayer(zone: DataFrame, layers: Seq[(String, DataFrame)],
+                  priorities: Seq[String], grid: CellGrid, res: Int): DataFrame = {
+    import org.locationtech.jts.operation.polygonize.Polygonizer
+    import org.locationtech.jts.operation.union.UnaryUnionOp
+    import org.locationtech.jts.geom.prep.PreparedGeometryFactory
+    import scala.jdk.CollectionConverters._
+    import graft.geom.Geo
+
+    val prioIdx = priorities.zipWithIndex.toMap
+    val r = zone.select(col("id_rsu"), col("the_geom"))
+    val clipped = layers.map { case (name, df) =>
+      SpatialJoin.candidates(r, "the_geom",
+          df.select(col("the_geom").as("__lg"), col("type").cast("string").as("__t")), "__lg",
+          grid, res, broadcastB = false)
+        .where(G.stIntersects(col("the_geom"), col("__lg")))
+        .select(col("id_rsu"), lit(name).as("__layer"), col("__t"),
+          G.stIntersection(col("the_geom"), col("__lg")).as("__clip"))
+    }.reduce(_ unionAll _)
+
+    val prioB = prioIdx // closure copy
+    val overlay = udf { (items: Seq[org.apache.spark.sql.Row]) =>
+      val geoms = items.map(row => (row.getString(0), row.getString(1),
+        Geo.fromWkb(row.getAs[Array[Byte]](2)))).filter(!_._3.isEmpty)
+      val lines = new java.util.ArrayList[org.locationtech.jts.geom.Geometry](geoms.size)
+      geoms.foreach { case (_, _, g) => lines.add(Geo.toMultiLine(g)) }
+      val noded = UnaryUnionOp.union(lines)
+      val pz = new Polygonizer()
+      pz.add(noded)
+      val preps = geoms.map { case (n, t, g) =>
+        (n, t, g.getArea, PreparedGeometryFactory.prepare(g))
+      }
+      pz.getPolygons.asScala.toSeq.flatMap { f0 =>
+        val f = f0.asInstanceOf[org.locationtech.jts.geom.Geometry]
+        val pos = f.getInteriorPoint
+        val covering = preps.filter(_._4.contains(pos))
+        if (covering.isEmpty) None
+        else {
+          val (n, t, _, _) = covering.minBy { case (n, _, a, _) => (prioB(n), a) }
+          Some((f.getArea, n, t))
+        }
+      }.toArray
+    }
+    clipped.groupBy("id_rsu")
+      .agg(collect_list(struct(col("__layer"), col("__t"), col("__clip"))).as("__items"))
+      .select(col("id_rsu"), explode(overlay(col("__items"))).as("__atom"))
+      .select(col("id_rsu"), col("__atom._1").as("area"),
+        col("__atom._2").as("layer"), col("__atom._3").as("type"))
+  }
+
+  /**
    * Priority/superposition surface fractions over the smallest-common-
    * geometry atoms — RsuIndicators.groovy:1744-1869 with the reference's
    * exact column-generation algorithm (the SQL-string loops become Column
