@@ -472,6 +472,23 @@ object Queries2 {
         .orderBy("id_build")
     }),
 
+    // -- population at RSU scale: building population summed per RSU
+    //    (RsuIndicators.groovy:2325-2382, multiScalePopulation chain) -------
+    "rsu_population" -> ((s, dir) => {
+      val b = rectLayer(s, dir).withColumnRenamed("type", "main_use")
+      val zones = s.range(0, 4).toDF("z").select(
+        col("z").as("id_pop"),
+        ((col("z") + 1) * 1000).cast("double").as("pop"),
+        G.stMakeBox(lit(0.0), col("z") * 20.0, lit(200.0), (col("z") + 1) * 20.0).as("the_geom"))
+      val perBuilding = BuildingIndicators.buildingPopulation(b, zones, Seq("residential"), grid, Res)
+        .join(rectLayer(s, dir).select(col("id_build"),
+          floor(col("y0") / 20).cast("long").as("id_rsu")), "id_build")
+      val upper = s.range(0, 6).toDF("id_rsu")
+      upper.join(perBuilding.groupBy("id_rsu").agg(sum(col("pop")).as("pop")), Seq("id_rsu"), "left")
+        .select(col("id_rsu"), round(coalesce(col("pop"), lit(0.0)), 9).as("pop"))
+        .orderBy("id_rsu")
+    }),
+
     // -- surface-fraction superposition: building x high-vegetation atoms per
     //    RSU (smallestCommunGeometry + surfaceFractions output semantics —
     //    RsuIndicators.groovy:1473-1590, 1744-1869) -------------------------
@@ -946,6 +963,17 @@ object Queries2 {
         |  FROM res JOIN zw USING (zb))
         |SELECT r.id_build, round(coalesce(sh.pop, 0.0), 9) AS pop
         |FROM rects r LEFT JOIN sh USING (id_build) ORDER BY id_build""".stripMargin,
+    "rsu_population" ->
+      s"""WITH $rectsSql,
+        |res AS (SELECT id_build, w * h * lev AS wt, CAST(y0 AS BIGINT) // 20 AS zb
+        |  FROM rects WHERE type = 'residential' AND y0 < 80),
+        |zw AS (SELECT zb, sum(wt) AS sw FROM res GROUP BY 1),
+        |sh AS (SELECT id_build, zb, (zb + 1) * 1000.0 * wt / sw AS pop
+        |  FROM res JOIN zw USING (zb)),
+        |g AS (SELECT zb AS id_rsu, sum(pop) AS pop FROM sh GROUP BY 1),
+        |u AS (SELECT CAST(range AS BIGINT) AS id_rsu FROM range(0, 6))
+        |SELECT u.id_rsu, round(coalesce(g.pop, 0.0), 9) AS pop
+        |FROM u LEFT JOIN g ON u.id_rsu = g.id_rsu ORDER BY u.id_rsu""".stripMargin,
     "rsu_surface_fractions" ->
       s"""WITH $rectsSql, $zones9Sql,
         |veg AS (SELECT CAST(doc_id % 20 * 7 AS DOUBLE) AS vx,
