@@ -71,6 +71,37 @@ object Lake {
     back
   }
 
+  /**
+   * Compute-or-resume a PARTITIONED stage: like `stage`, but the data lands
+   * hive-partitioned by `partitionCols` (the SURVEY §4 layout: coarse
+   * cell-prefix + time bucket), so downstream filters on those columns prune
+   * at the file listing level — the Iceberg-style partition pruning the
+   * north rule's 10^12-row table needs.
+   */
+  def stagePartitioned(spark: SparkSession, root: String, name: String,
+                       partitionCols: Seq[String])(compute: => DataFrame): DataFrame = {
+    if (isCommitted(root, name)) return read(spark, root, name)
+    val dataPath = s"$root/$name/data"
+    compute.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dataPath)
+    val back = spark.read.parquet(dataPath)
+    val lineage = back
+      .select(col("_metadata.file_path").as("file"), col("_metadata.file_size").as("bytes"))
+      .groupBy("file", "bytes").agg(count(lit(1)).as("rows"))
+      .withColumn("stage", lit(name))
+    lineage.coalesce(1).write.mode("overwrite").parquet(s"$root/$name/lineage")
+    val stats = spark.read.parquet(s"$root/$name/lineage")
+      .agg(sum("rows").as("rows"), count(lit(1)).as("files"), sum("bytes").as("bytes"))
+      .head()
+    val m = s"""{"stage":"$name","rows":${stats.getLong(0)},"files":${stats.getLong(1)},""" +
+      s""""bytes":${stats.getLong(2)},"committedAtMs":${System.currentTimeMillis()}}"""
+    val tmp = Paths.get(root, name, ".manifest.json.tmp")
+    Files.createDirectories(tmp.getParent)
+    Files.write(tmp, m.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(root, name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    back
+  }
+
   /** Drop a stage's commit marker so the next run recomputes it. */
   def invalidate(root: String, stage: String): Unit = {
     val p = manifestPath(root, stage)
