@@ -348,7 +348,10 @@ object Queries {
         ((col("doc_id") * 13) % 60).cast("double").as("x0"),
         ((col("doc_id") * 29) % 60).cast("double").as("y0"))
         .withColumn("the_geom", G.stMakeBox(col("x0"), col("y0"), col("x0") + 2.0, col("y0") + 2.0))
-      ConnectedComponents.createBlocks(rects, grid, Res)
+      // res 14 (2-unit cells) — this layer packs 2x2 rects into a 60x60
+      // window; the default res 10 (32-unit cells) would put every rect in
+      // the same handful of cells (~6M candidate pairs instead of ~200k)
+      ConnectedComponents.createBlocks(rects, grid, 14)
         .select(explode(col("id_builds")).as("id_build"),
           array_min(col("id_builds")).cast("long").as("component"))
         .select(col("id_build").cast("long").as("id_build"), col("component"))

@@ -52,6 +52,25 @@ object SpatialJoin {
     lit(res.toLong << 58).bitwiseOR(shiftleft(spread(iy), 1)).bitwiseOR(spread(ix))
   }
 
+  /**
+   * Data-driven resolution pick: cells sized to ~2x the median geometry
+   * extent of a sample, so covers stay small (1-4 cells/geometry) while
+   * dense layers don't collapse into a handful of shared cells (the
+   * candidate-blowup failure mode: a layer of 2-unit rects under 32-unit
+   * cells costs ~30x more candidate pairs than under 2-unit cells).
+   */
+  def suggestRes(geoms: DataFrame, geomCol: String, grid: CellGrid,
+                 sampleFraction: Double = 0.1): Int = {
+    val extent = udf { (wkb: Array[Byte]) =>
+      val e = Geo.fromWkb(wkb).getEnvelopeInternal
+      math.max(e.getWidth, e.getHeight)
+    }
+    val med = geoms.sample(sampleFraction min 1.0)
+      .select(percentile_approx(extent(col(geomCol)), lit(0.5), lit(1000)))
+      .head().getDouble(0)
+    grid.resForCellSize(math.max(med * 2, grid.cellSize(grid.maxRes)))
+  }
+
   /** cover(geom,res) as a UDF bound to a grid. */
   def coverUdf(grid: CellGrid, res: Int) =
     udf((wkb: Array[Byte]) => grid.cover(Geo.fromWkb(wkb), res))
