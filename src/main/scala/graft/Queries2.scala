@@ -409,6 +409,17 @@ object Queries2 {
         .orderBy("lod_row", "lod_col")
     }),
 
+    // -- LOD-1 mode cells with 8-neighbor mode stats (the reference computes
+    //    neighbor LCZ at every LOD — GridIndicators.groovy:238-280) ---------
+    "grid_lod_neighbors" -> ((s, dir) => {
+      val lod = GridIndicators.lodMode(gridCells(s, dir), "lcz",
+        Map(1 -> 5, 2 -> 4, 6 -> 3, 8 -> 2, 104 -> 1, 101 -> 0, 107 -> 0), level = 1)
+        .select((col("lod_row") + 1).as("id_row"), (col("lod_col") + 1).as("id_col"),
+          col("lcz_mode").as("lcz"))
+      GridIndicators.neighborStats(lod, "lcz")
+        .orderBy("id_row", "id_col")
+    }),
+
     // -- grid 8-neighbor aggregate (GridIndicators.groovy:238-254) ----------
     "grid_neighbors" -> ((s, dir) => {
       GridIndicators.neighborStats(gridCells(s, dir), "lcz")
@@ -933,6 +944,24 @@ object Queries2 {
         |    ORDER BY cnt DESC, wt, lcz) AS rn FROM w)
         |SELECT lod_row, lod_col, lcz AS lcz_mode, cnt FROM r WHERE rn = 1
         |ORDER BY lod_row, lod_col""".stripMargin,
+    "grid_lod_neighbors" ->
+      s"""WITH $gridCellsSql,
+        |lod AS (SELECT (id_row - 1) // 3 AS lod_row, (id_col - 1) // 3 AS lod_col, lcz FROM cells),
+        |cnts AS (SELECT lod_row, lod_col, lcz, count(*) AS cnt FROM lod GROUP BY 1, 2, 3),
+        |w AS (SELECT *, CASE lcz WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 6 THEN 3 WHEN 8 THEN 2
+        |    WHEN 104 THEN 1 ELSE 0 END AS wt FROM cnts),
+        |m AS (SELECT lod_row + 1 AS id_row, lod_col + 1 AS id_col, lcz FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lod_row, lod_col
+        |      ORDER BY cnt DESC, wt, lcz) AS rn FROM w) WHERE rn = 1),
+        |n AS (SELECT a.id_row, a.id_col, count(*) AS nn, sum(b.lcz) AS sl
+        |  FROM m a JOIN m b
+        |    ON abs(a.id_row - b.id_row) <= 1 AND abs(a.id_col - b.id_col) <= 1
+        |    AND NOT (a.id_row = b.id_row AND a.id_col = b.id_col)
+        |  GROUP BY 1, 2)
+        |SELECT c.id_row, c.id_col, coalesce(n.nn, 0) AS n_neighbors,
+        |  CAST(coalesce(n.sl, 0) AS BIGINT) AS sum_neighbors
+        |FROM m c LEFT JOIN n ON c.id_row = n.id_row AND c.id_col = n.id_col
+        |ORDER BY c.id_row, c.id_col""".stripMargin,
     "grid_neighbors" ->
       s"""WITH $gridCellsSql,
         |n AS (SELECT a.id_row, a.id_col, count(*) AS nn, sum(b.lcz) AS sl
