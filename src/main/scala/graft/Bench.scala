@@ -86,15 +86,24 @@ object Bench {
       return
     }
 
-    // -- per-query timings at full parallelism -----------------------------
+    // -- per-query timings at full parallelism. A failing query is REPORTED
+    //    (errors map + timing -1), never silently timed as if it ran. -------
     val s32 = session(32)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(s32, sfDir).count() } catch { case _: Throwable => () } // warm
-      val t0 = System.nanoTime()
-      try { fn(s32, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(s32, sfDir).count() // warm: JIT + codegen
+        val t0 = System.nanoTime()
+        fn(s32, sfDir).count()
+        (name, (System.nanoTime() - t0) / 1e9, None: Option[String])
+      } catch {
+        case e: Throwable =>
+          (name, -1.0, Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+      }
     }
     s32.stop()
+    val errors = results.collect { case (n, _, Some(msg)) =>
+      "\"" + n + "\":\"" + msg.replaceAll("[\"\\\\\n\r\t]", " ").take(160) + "\""
+    }
 
     // -- flagship scaling evidence, two N->4N pairs (see BASELINE.md):
     //    2->8 cores stays inside the single box's memory-bandwidth envelope
@@ -106,15 +115,16 @@ object Bench {
     val eff28 = (rps8a / rps2) / 4.0
     val eff832 = (rps32 / rps8b) / 4.0
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v, None) => v }.sum
     val scaling = f"""{"rows":$scaleRows,""" +
       f""""pair_2_8":{"cores_n":2,"cores_4n":8,"rows_per_sec_n":$rps2%.0f,"rows_per_sec_4n":$rps8a%.0f,"efficiency":$eff28%.3f},""" +
       f""""pair_8_32":{"cores_n":8,"cores_4n":32,"rows_per_sec_n":$rps8b%.0f,"rows_per_sec_4n":$rps32%.0f,"efficiency":$eff832%.3f},""" +
       f""""efficiency":$eff28%.3f}"""
+    val errJson = if (errors.isEmpty) "" else errors.mkString(""","errors":{""", ",", "}")
     println(s"""{"metric":"spatial_join_tile_assign_rows_per_sec","value":${f"$rps32%.0f"},""" +
       s""""unit":"rows/sec","queries":$qs,"sf":"$sfDir",""" +
-      f""""total_query_sec":$total%.3f,"scaling":$scaling}""")
+      f""""total_query_sec":$total%.3f,"scaling":$scaling$errJson}""")
   }
 }

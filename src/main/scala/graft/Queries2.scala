@@ -203,6 +203,15 @@ object Queries2 {
 
   // ---- grid cells for the grid indicators ---------------------------------
   private val LczVals = Array(1, 2, 6, 8, 101, 104, 107)
+
+  /** The reference's LOD-mode tiebreak weights (GridIndicators.groovy:199-206
+    * `weight_lcz` CASE): urban LCZ keep their value, rural remap 105->11,
+    * 107->12, 106->13, 101->14, 102->15, 103/104->16. Smaller weight wins
+    * ties (ORDER BY count DESC, ..., weight_lcz). */
+  private val RefLczWeights: Map[Int, Int] =
+    Map(1 -> 1, 2 -> 2, 6 -> 6, 8 -> 8, 101 -> 14, 104 -> 16, 107 -> 12)
+  private val RefLczWeightSql =
+    "CASE lcz WHEN 101 THEN 14 WHEN 104 THEN 16 WHEN 107 THEN 12 ELSE lcz END"
   private def gridCells(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       (col("doc_id") % 25 + 1).as("id_row"),
@@ -402,18 +411,20 @@ object Queries2 {
     }),
 
     // -- grid LOD pyramid: weighted mode with count/weight tiebreak
-    //    (GridIndicators.groovy:126-280) ------------------------------------
+    //    (GridIndicators.groovy:126-280). Weights replicate the reference's
+    //    weight_lcz CASE (GridIndicators.groovy:199-206): urban classes keep
+    //    their LCZ value (1-10), rural remap 105->11, 107->12, 106->13,
+    //    101->14, 102->15, 103/104->16; tiebreak is weight ASC, so LOW urban
+    //    LCZ wins count ties over rural. ------------------------------------
     "grid_lod_mode" -> ((s, dir) => {
-      GridIndicators.lodMode(gridCells(s, dir), "lcz",
-        Map(1 -> 5, 2 -> 4, 6 -> 3, 8 -> 2, 104 -> 1, 101 -> 0, 107 -> 0), level = 1)
+      GridIndicators.lodMode(gridCells(s, dir), "lcz", RefLczWeights, level = 1)
         .orderBy("lod_row", "lod_col")
     }),
 
     // -- LOD-1 mode cells with 8-neighbor mode stats (the reference computes
     //    neighbor LCZ at every LOD — GridIndicators.groovy:238-280) ---------
     "grid_lod_neighbors" -> ((s, dir) => {
-      val lod = GridIndicators.lodMode(gridCells(s, dir), "lcz",
-        Map(1 -> 5, 2 -> 4, 6 -> 3, 8 -> 2, 104 -> 1, 101 -> 0, 107 -> 0), level = 1)
+      val lod = GridIndicators.lodMode(gridCells(s, dir), "lcz", RefLczWeights, level = 1)
         .select((col("lod_row") + 1).as("id_row"), (col("lod_col") + 1).as("id_col"),
           col("lcz_mode").as("lcz"))
       GridIndicators.neighborStats(lod, "lcz")
@@ -730,23 +741,34 @@ object Queries2 {
         .orderBy("id_rsu")
     }),
 
-    // ====================== rows-only checks (no SQL oracle) ===============
-    // MinHash+LSH near-dup pairs (banded signature equi-join + exact verify);
-    // xxhash64 has no DuckDB equivalent, so the driver records rows-only.
+    // MinHash+LSH near-dup pairs (banded signature equi-join on id-only
+    // keys + exact shingle-set verify). The ORACLE is the exact all-pairs
+    // trigram-set jaccard >= threshold: LSH jaccard over 64-bit shingle
+    // hashes equals string-shingle jaccard (xxhash collisions aside), and
+    // at these SFs every true pair sits at j >= 0.8 where 16x3 banding
+    // recalls with P(miss) ~ 1e-5 per pair — so the gate checks BOTH the
+    // verify math and the candidate recall.
     "dedup_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
-        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.4)
+        k = 3, bands = 16, rowsPerBand = 3, threshold = 0.4)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
 
     // SimHash near-dup pairs (16-bit chunk candidates + Hamming verify).
+    // Pigeonhole candidates are LOSSLESS at maxHamming<=3, so the output is
+    // a pure function of the word hash; the md5-based hash (Dedup.md5WordHash)
+    // is bit-replicable in DuckDB — full oracle, not rows-only.
     "dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3,
+          wordHash = Dedup.md5WordHash)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
     }),
 
-    // IVF approximate nearest neighbors (bucketed scan path).
+    // IVF approximate nearest neighbors (bucketed scan path): centroids =
+    // first-k vectors, map-side argmax assignment, nProbe buckets probed.
+    // Deterministic end-to-end -> replicated exactly in the DuckDB oracle.
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id").isin(1L, 7L, 42L, 99L, 123L))
@@ -758,19 +780,26 @@ object Queries2 {
     }),
 
     // Multimodal feature extraction (stub codec; real batching/schema).
+    // The stub features are byte-bucket sums scaled by 1/255 in float32;
+    // scaling back by 255 and rounding recovers EXACT integer byte sums
+    // (float error << 0.5), so the oracle is pure integer arithmetic.
     "multimodal_feats" -> ((s, dir) => {
       Multimodal.extractFeatures(Multimodal.synthMedia(s, 500), dim = 8)
         .toDF()
         .select(col("mediaId").as("media_id"), col("kind"),
-          round(aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double")), 4)
-            .as("feat_sum"))
+          round(aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double")) * 255.0)
+            .cast("long").as("feat_sum_scaled"),
+          round(element_at(col("features"), 1).cast("double") * 255.0)
+            .cast("long").as("feat0_scaled"))
         .orderBy("media_id")
     }),
 
-    // Order-sensitive rolling document fingerprint.
+    // Order-sensitive rolling document fingerprint (md5-based word hash —
+    // same 31-bit field fold replicated in DuckDB via list_reduce).
     "text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text"), Dedup.md5WordHash).as("fingerprint"))
         .orderBy("doc_id")
     }))
 
@@ -938,8 +967,7 @@ object Queries2 {
       s"""WITH $gridCellsSql,
         |lod AS (SELECT (id_row - 1) // 3 AS lod_row, (id_col - 1) // 3 AS lod_col, lcz FROM cells),
         |cnts AS (SELECT lod_row, lod_col, lcz, count(*) AS cnt FROM lod GROUP BY 1, 2, 3),
-        |w AS (SELECT *, CASE lcz WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 6 THEN 3 WHEN 8 THEN 2
-        |    WHEN 104 THEN 1 ELSE 0 END AS wt FROM cnts),
+        |w AS (SELECT *, $RefLczWeightSql AS wt FROM cnts),
         |r AS (SELECT *, row_number() OVER (PARTITION BY lod_row, lod_col
         |    ORDER BY cnt DESC, wt, lcz) AS rn FROM w)
         |SELECT lod_row, lod_col, lcz AS lcz_mode, cnt FROM r WHERE rn = 1
@@ -948,8 +976,7 @@ object Queries2 {
       s"""WITH $gridCellsSql,
         |lod AS (SELECT (id_row - 1) // 3 AS lod_row, (id_col - 1) // 3 AS lod_col, lcz FROM cells),
         |cnts AS (SELECT lod_row, lod_col, lcz, count(*) AS cnt FROM lod GROUP BY 1, 2, 3),
-        |w AS (SELECT *, CASE lcz WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 6 THEN 3 WHEN 8 THEN 2
-        |    WHEN 104 THEN 1 ELSE 0 END AS wt FROM cnts),
+        |w AS (SELECT *, $RefLczWeightSql AS wt FROM cnts),
         |m AS (SELECT lod_row + 1 AS id_row, lod_col + 1 AS id_col, lcz FROM (
         |    SELECT *, row_number() OVER (PARTITION BY lod_row, lod_col
         |      ORDER BY cnt DESC, wt, lcz) AS rn FROM w) WHERE rn = 1),
@@ -1350,5 +1377,87 @@ object Queries2 {
         |  CAST(floor(y / 10.0) AS BIGINT) + 1 AS id_row,
         |  count(*) AS cnt, count(*) AS n_text_ok, CAST(sum(tlen) AS BIGINT) AS sum_text_len
         |FROM p JOIN rsu ON x > xmin AND x < xmax AND y > ymin AND y < ymax
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // LSH jaccard over 64-bit shingle hashes == string-shingle set jaccard
+    // (collisions aside), and every true pair here sits at j >= 0.8 where
+    // 16x3 banding recalls with P(miss) ~ 1e-5 — so the exact all-pairs
+    // jaccard is a legitimate full oracle for the LSH output.
+    "dedup_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w, unnest(range(0, len(w)-2)) AS g FROM toks WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[g+1:g+3], ' ') AS tri FROM idx),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.tri = b.tri AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter), 9) AS jaccard
+        |FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.4
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Bit-exact replication of the md5-word-hash SimHash: 60-bit word hash
+    // = first 15 md5 hex chars (Spark conv(substr(md5,1,15),16,10)); votes,
+    // chunk candidates (pigeonhole — lossless at hamming<=3), exact verify.
+    "dedup_simhash" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS wh FROM w),
+        |bits AS (SELECT doc_id, j,
+        |    CASE WHEN sum(CASE WHEN (wh >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS j) t GROUP BY doc_id, j),
+        |sh AS (SELECT doc_id, CAST(sum(bit << j) AS BIGINT) AS h FROM bits GROUP BY doc_id),
+        |ck AS (SELECT doc_id, h, c, (h >> (CAST(c AS INT)*16)) & 65535 AS key
+        |  FROM (SELECT doc_id, h, unnest(range(0,4)) AS c FROM sh)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.h AS h_a, b.h AS h_b
+        |  FROM ck a JOIN ck b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3 ORDER BY 1, 2""".stripMargin,
+
+    // Full IVF replication: centroids = first 8 vectors (vec_id is dense
+    // from 0, so centroid_id == vec_id), argmax assignment with (sim DESC,
+    // centroid_id ASC) ties, 3 probed buckets, exact top-10 rank.
+    "ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+        |s0 AS (SELECT e.vec_id, e.v, c.centroid_id,
+        |    list_dot_product(e.v, c.cv)/(sqrt(list_dot_product(e.v,e.v))*sqrt(list_dot_product(c.cv,c.cv))) AS sim
+        |  FROM e CROSS JOIN cents c),
+        |asgn AS (SELECT vec_id, v, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) rn FROM s0) WHERE rn=1),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (1,7,42,99,123)),
+        |qp AS (SELECT qid, qv, centroid_id FROM (
+        |    SELECT q.qid, q.qv, c.centroid_id,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        list_dot_product(q.qv,c.cv)/(sqrt(list_dot_product(q.qv,q.qv))*sqrt(list_dot_product(c.cv,c.cv))) DESC,
+        |        c.centroid_id) rn
+        |    FROM q CROSS JOIN cents c) WHERE rn <= 3),
+        |cand AS (SELECT qp.qid, a.vec_id,
+        |    list_dot_product(a.v, qp.qv)/(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(qp.qv,qp.qv))) AS sim
+        |  FROM qp JOIN asgn a ON a.centroid_id = qp.centroid_id AND a.vec_id <> qp.qid)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id FROM (
+        |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM cand)
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // Stub-decode features are byte-bucket sums / 255 in float32; scaling
+    // by 255 and rounding recovers the EXACT integer byte sums (float error
+    // << 0.5), so the oracle is pure integer arithmetic on the synth spec.
+    "multimodal_feats" ->
+      """WITH m AS (SELECT range AS i FROM range(0, 500)),
+        |v AS (SELECT i, j, (i*31 + j*7) % 256 AS byte
+        |  FROM (SELECT i, unnest(range(0, 64 + i % 64)) AS j FROM m)),
+        |agg AS (SELECT i, CAST(sum(byte) AS BIGINT) AS feat_sum_scaled,
+        |    CAST(sum(CASE WHEN j % 8 = 0 THEN byte ELSE 0 END) AS BIGINT) AS feat0_scaled
+        |  FROM v GROUP BY 1)
+        |SELECT i AS media_id,
+        |  CASE WHEN i%3=0 THEN 'image' WHEN i%3=1 THEN 'audio' ELSE 'video' END AS kind,
+        |  feat_sum_scaled, feat0_scaled FROM agg ORDER BY media_id""".stripMargin,
+
+    // Same 31-bit-field polynomial fold as TextAnalysis.fingerprint with
+    // the md5 word hash; list_reduce seeds with a prepended 0.
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT), list_transform(ws,
+        |      w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 2147483647)),
+        |    (a, b) -> (a * 1000003 + b) % 2147483647) AS fingerprint
+        |FROM t ORDER BY doc_id""".stripMargin)
 }

@@ -78,6 +78,16 @@ final case class CellGrid(minX: Double, minY: Double, worldSize: Double) {
     val e = bounds(id); Geo.box(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
   }
 
+  /** True iff the cell touches the world border. Border cells absorb
+    * out-of-bounds points (the clamp in `cell`), so callers must never
+    * treat them as "fully interior to a polygon" — a clamped far-away point
+    * would then skip refinement and emit a false positive. */
+  def isBorderCell(id: Long): Boolean = {
+    val res = resOf(id); val max = cellsPerAxis(res) - 1
+    val ix = ixOf(id); val iy = iyOf(id)
+    ix == 0 || iy == 0 || ix == max || iy == max
+  }
+
   def parent(id: Long): Long = {
     val res = resOf(id)
     require(res > 0, "res-0 cell has no parent")

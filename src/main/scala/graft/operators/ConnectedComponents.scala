@@ -59,9 +59,13 @@ object ConnectedComponents {
   /**
    * Blocks from buildings (reference createBlocks, SpatialUnits.groovy:377-457):
    * components of the building-intersects graph, one merged geometry per
-   * block, block ids minted as dense row_numbers over a deterministic
-   * ordering (min building id) — NOT monotonically_increasing_id (ids must
-   * be stable, SURVEY §7.4.4).
+   * block. The block id IS the component label (the min building id of the
+   * block) — already stable and deterministic, and minted with ZERO extra
+   * shuffles. The reference mints dense serials via `row_number() over ()`;
+   * a global `Window.orderBy` replica would funnel every distinct component
+   * (≈ building count at city scale) through ONE partition, so we keep the
+   * stable label instead (ids are unique + deterministic, just not dense —
+   * callers needing dense ids zipWithIndex the distinct labels).
    */
   def createBlocks(buildingIn: DataFrame, grid: CellGrid, res: Int): DataFrame = {
     val building = buildingIn.select(col("id_build"), col("the_geom"))
@@ -72,11 +76,8 @@ object ConnectedComponents {
       .select(col("id_build").as("src"), col("id_b").as("dst"))
     val comp = run(building.select("id_build"), "id_build", edges, "src", "dst")
     val withComp = building.join(comp.withColumnRenamed("id", "id_build"), "id_build")
-    val blockIds = withComp.select("component").distinct()
-      .withColumn("id_block",
-        row_number().over(org.apache.spark.sql.expressions.Window.orderBy("component")))
-    withComp.join(blockIds, "component")
-      .groupBy("id_block")
+    withComp
+      .groupBy(col("component").as("id_block"))
       .agg(G.st_union_agg(col("the_geom")).as("the_geom"),
         collect_list(col("id_build")).as("id_builds"))
   }

@@ -65,10 +65,15 @@ object Dedup {
    * (equi-join on (band, bucket-hash) — shuffle on small keys, no quadratic
    * blowup); candidates verified by exact shingle-set Jaccard >= threshold.
    *
+   * Recall: a pair at true jaccard j matches a band w.p. j^rowsPerBand, so
+   * recall(j) = 1 − (1 − j^r)^b. Defaults 16×3 give recall(0.8) ≈ 1 − 1e-5,
+   * recall(0.9) ≈ 1 − 1e-9 — the near-dup regime; pairs far below the
+   * verify threshold are *meant* to be pruned.
+   *
    * Returns (id_a, id_b, jaccard) with id_a < id_b, deduplicated.
    */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                 k: Int = 3, bands: Int = 16, rowsPerBand: Int = 3,
                  threshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
     // materialize the signature table once: the banded self-join would
@@ -79,17 +84,21 @@ object Dedup {
       .where(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .localCheckpoint()
-    val banded = withSig.select(col("id"), col("sh"),
+    // band join carries IDs ONLY — the shingle arrays (the heavy payload)
+    // never ride the band shuffle; they re-attach for the verify stage
+    val banded = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val rhs = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    val cand = banded.join(rhs, Seq("band", "bucket"))
+    val rhs = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candIds = banded.join(rhs, Seq("band", "bucket"))
       .where(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"), col("sh"), col("sh_b"))
+      .select(col("id").as("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
+    val sets = withSig.select(col("id"), col("sh"))
+    candIds
+      .join(sets.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
@@ -97,11 +106,20 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Word hash expressible in BOTH Spark and DuckDB: the top 15 hex chars of
+    * md5 parsed as a 60-bit integer (Spark `conv(substr(md5,1,15),16,10)`;
+    * DuckDB `CAST('0x'||substr(md5,1,15) AS BIGINT)`). Used by the oracle
+    * variants of simhash/fingerprint; xxhash64 stays the default hot path
+    * (one codegen'd op vs md5's digest + hex parse). */
+  def md5WordHash(w: Column): Column =
+    conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** 64-bit SimHash over word hashes: bit j of the hash = sign of
-    * Σ_words (bit j of xxhash64(word) ? +1 : -1). Word hashing stays in
-    * Catalyst (xxhash64 codegen); the 64 bit-counters run in one loop UDF
-    * (the fully-Catalyst form needs 64 interpreted aggregates per row —
-    * measured ~60x slower; results are bit-identical). */
+    * Σ_words (bit j of wordHash(word) ? +1 : -1). Word hashing stays in
+    * Catalyst (xxhash64 codegen by default; md5-based for oracle parity);
+    * the 64 bit-counters run in one loop UDF (the fully-Catalyst form needs
+    * 64 interpreted aggregates per row — measured ~60x slower; results are
+    * bit-identical). */
   private val simhashCombine = udf { (hs: Seq[Long]) =>
     val counts = new Array[Int](64)
     hs.foreach { h =>
@@ -113,17 +131,20 @@ object Dedup {
     while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
     out
   }
-  def simhash64(textCol: Column): Column =
-    simhashCombine(transform(split(textCol, " ", -1), w => xxhash64(w)))
+  def simhash64(textCol: Column,
+                wordHash: Column => Column = xxhash64(_)): Column =
+    simhashCombine(transform(split(textCol, " ", -1), w => wordHash(w)))
 
   /** SimHash near-dup pairs: candidates share one of 4 16-bit chunks
-    * (any pair within Hamming distance 3 shares a chunk — pigeonhole);
+    * (any pair within Hamming distance 3 shares a chunk — pigeonhole, so
+    * candidate generation is LOSSLESS for maxHamming <= 3);
     * verified by exact Hamming distance <= maxHamming. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   wordHash: Column => Column = xxhash64(_)): DataFrame = {
     // materialized once: simhash64 is 64 interpreted aggregates per row —
     // never let the self-join recompute it per side
-    val sh = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("h"))
+    val sh = docs.select(col(idCol).as("id"), simhash64(col(textCol), wordHash).as("h"))
       .localCheckpoint()
     val chunked = sh.select(col("id"), col("h"),
       posexplode(array((0 until 4).map(c =>
@@ -140,27 +161,45 @@ object Dedup {
 
   /**
    * Exact n-gram Jaccard similarity join: inverted-index candidate
-   * generation (explode distinct shingles, equi-join on shingle, count
-   * co-occurrences) — the standard "shared token" candidate prune — then
-   * |A∩B| / (|A|+|B|−|A∩B|) without materializing pair shingle arrays.
+   * generation (explode distinct shingles, equi-join on shingle) — the
+   * standard "shared token" candidate prune — then EXACT verify on the
+   * re-attached shingle sets (so the reported jaccard never depends on
+   * which postings generated the candidate).
+   *
+   * @param maxDf document-frequency cap on postings (prefix-filter hygiene):
+   *   a shingle appearing in more than `maxDf` docs is dropped from the
+   *   INDEX — without a cap, one ubiquitous shingle ("lorem ipsum…") makes
+   *   the posting-list self-join quadratic in its df. Candidates are then
+   *   pairs sharing at least one sub-cap shingle; a pair whose ENTIRE
+   *   intersection is capped shingles is missed — acceptable at web scale
+   *   (ubiquitous shingles carry no pair information), and None = exact.
    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, threshold: Double = 0.3): DataFrame = {
+                        k: Int = 3, threshold: Double = 0.3,
+                        maxDf: Option[Int] = None): DataFrame = {
     val sets = docs.select(col(idCol).as("id"),
         array_distinct(shingles(col(textCol), k)).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("sz", size(col("sh")))
-    // one materialization of the postings; the inverted-index self-join would
-    // otherwise evaluate the shingle expressions once per side
-    val inv = sets.select(col("id"), col("sz"), explode(col("sh")).as("g"))
-      .localCheckpoint()
-    val rhs = inv.select(col("g"), col("id").as("id_b"), col("sz").as("sz_b"))
-    inv.join(rhs, Seq("g"))
+      .localCheckpoint() // feeds postings AND both verify sides
+    // postings carry IDs only (no shingle arrays through the self-join)
+    val inv0 = sets.select(col("id"), explode(col("sh")).as("g"))
+    val inv = maxDf match {
+      case Some(cap) =>
+        val df = inv0.groupBy("g").agg(count(lit(1)).as("__df"))
+        inv0.join(df.where(col("__df") <= cap).select("g"), Seq("g"))
+      case None => inv0
+    }
+    val rhs = inv.select(col("g"), col("id").as("id_b"))
+    val candIds = inv.join(rhs, Seq("g"))
       .where(col("id") < col("id_b"))
-      .groupBy(col("id").as("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"), first("sz").as("sz_a"), first("sz_b").as("sz_b2"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b2") - col("inter")))
+      .select(col("id").as("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candIds
+      .join(sets.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (size(col("sh")) + size(col("sh_b")) - col("inter")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -60,15 +60,18 @@ object SpatialJoin {
    * cells costs ~30x more candidate pairs than under 2-unit cells).
    */
   def suggestRes(geoms: DataFrame, geomCol: String, grid: CellGrid,
-                 sampleFraction: Double = 0.1): Int = {
+                 sampleFraction: Double = 0.1, defaultRes: Int = 10): Int = {
     val extent = udf { (wkb: Array[Byte]) =>
       val e = Geo.fromWkb(wkb).getEnvelopeInternal
       math.max(e.getWidth, e.getHeight)
     }
-    val med = geoms.sample(sampleFraction min 1.0)
+    // fixed seed: identical invocations must pick identical resolutions
+    // (join plans should not drift run-to-run on sampling noise)
+    val row = geoms.sample(withReplacement = false, sampleFraction min 1.0, seed = 42L)
       .select(percentile_approx(extent(col(geomCol)), lit(0.5), lit(1000)))
-      .head().getDouble(0)
-    grid.resForCellSize(math.max(med * 2, grid.cellSize(grid.maxRes)))
+      .head()
+    if (row.isNullAt(0)) defaultRes // empty sample: percentile is NULL
+    else grid.resForCellSize(math.max(row.getDouble(0) * 2, grid.cellSize(grid.maxRes)))
   }
 
   /** cover(geom,res) as a UDF bound to a grid. */
@@ -77,13 +80,17 @@ object SpatialJoin {
 
   /** cover cells with an interior flag: cells containsProperly-covered by
     * the polygon need NO point-level refinement (every point of such a cell
-    * is in the polygon INTERIOR — exact, not approximate). */
+    * is in the polygon INTERIOR — exact, not approximate). World-BORDER
+    * cells are never flagged interior: out-of-bounds points clamp to border
+    * cells (CellGrid.cell), so an unrefined border match could emit a
+    * far-away clamped point as a false positive. */
   def coverFlagUdf(grid: CellGrid, res: Int) =
     udf { (wkb: Array[Byte]) =>
       val g = Geo.fromWkb(wkb)
       val cands = grid.cover(g, res)
       val prep = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(g)
-      cands.map(id => (id, prep.containsProperly(grid.boundsGeom(id))))
+      cands.map(id => (id,
+        !grid.isBorderCell(id) && prep.containsProperly(grid.boundsGeom(id))))
     }
   def compactCoverUdf(grid: CellGrid, res: Int, minRes: Int) =
     udf((wkb: Array[Byte]) => grid.compactCover(Geo.fromWkb(wkb), res, minRes))
@@ -153,8 +160,11 @@ object SpatialJoin {
       val cells = grid.compactCover(g, res, minRes)
       val prep = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(g)
       // a compact cell is interior iff containsProperly (cells emitted above
-      // `res` are covered but may touch the boundary; check exactly)
-      cells.map(id => (id, prep.containsProperly(grid.boundsGeom(id))))
+      // `res` are covered but may touch the boundary; check exactly);
+      // world-border cells never count as interior — they absorb clamped
+      // out-of-bounds points (see coverFlagUdf)
+      cells.map(id => (id,
+        !grid.isBorderCell(id) && prep.containsProperly(grid.boundsGeom(id))))
     }
     val polyCells = polys
       .withColumn("__cf", explode(compactUdf(col(geomCol))))

@@ -59,16 +59,19 @@ object TextAnalysis {
     round(lit(0.4) * lenScore + lit(0.3) * wordLenScore + lit(0.3) * alpha, 6)
   }
 
-  /** 64-bit rolling polynomial fingerprint over word hashes:
-    * fp = Σ h(w_i)·B^(n-1-i) mod 2^64 (Rabin-Karp shape, order-sensitive —
-    * permuted documents get different fingerprints, unlike a bag hash). */
-  def fingerprint(textCol: Column): Column = {
+  /** Rolling polynomial fingerprint over word hashes:
+    * fp = Σ h(w_i)·B^(n-1-i) mod P (Rabin-Karp shape, order-sensitive —
+    * permuted documents get different fingerprints, unlike a bag hash).
+    * `wordHash` defaults to xxhash64 (hot path); pass `Dedup.md5WordHash`
+    * for a DuckDB-replicable variant (oracle parity). */
+  def fingerprint(textCol: Column,
+                  wordHash: Column => Column = xxhash64(_)): Column = {
     // 31-bit prime field keeps acc*B below 2^62 (no ANSI overflow):
     // fp = Σ h(w_i)·B^(n-1-i) mod P
     val P = 2147483647L // 2^31 - 1
     val B = 1000003L
     aggregate(tokens(textCol), lit(0L),
-      (acc, w) => pmod(acc * B + pmod(xxhash64(w), lit(P)), lit(P)))
+      (acc, w) => pmod(acc * B + pmod(wordHash(w), lit(P)), lit(P)))
   }
 
   /** One-pass text-stats projection for the documents table. */

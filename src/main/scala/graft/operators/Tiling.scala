@@ -70,15 +70,23 @@ object Tiling {
     val sb = new StringBuilder()
     sb.append(s"ncols $nCols\nnrows $nRows\nxllcorner $xll\nyllcorner $yll\n")
     sb.append(s"cellsize $cellSize\nnodata_value -9999\n")
+    // byte format matches the reference's saveToAscGrid writer: every value
+    // is followed by ONE space, then the newline (WorkflowUtilities.groovy:
+    // 206-215 appends `value + " "` and breaks at id_col == ncols). One
+    // deliberate divergence, documented: cells absent from the table are
+    // PADDED with -9999 — the reference only emits rows present, which
+    // produces a ragged (non-rectangular) raster when cells are missing;
+    // padding is required for a well-formed ESRI ASCII grid.
     for (row <- nRows to 1 by -1) {
-      val line = (1 to nCols).map { c =>
-        cells.get((c, row)).flatten match {
+      (1 to nCols).foreach { c =>
+        val v = cells.get((c, row)).flatten match {
           case Some(v) => new java.math.BigDecimal(v)
             .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
           case None => "-9999"
         }
-      }.mkString(" ")
-      sb.append(line).append('\n')
+        sb.append(v).append(' ')
+      }
+      sb.append('\n')
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -19,7 +19,9 @@ class AscSpec extends SparkTestBase {
     val lines = scala.io.Source.fromFile(path).getLines().toSeq
     assert(lines.take(6) == Seq("ncols 2", "nrows 2", "xllcorner 0.0",
       "yllcorner 0.0", "cellsize 5.0", "nodata_value -9999"))
-    assert(lines(6) == "5.000 -9999")   // top row (id_row 2): (1,2)=4+1, (2,2) empty
-    assert(lines(7) == "1.500 2.500")   // bottom row (id_row 1)
+    // reference byte format: every value followed by ONE space before the
+    // newline (WorkflowUtilities.groovy:206-215)
+    assert(lines(6) == "5.000 -9999 ")  // top row (id_row 2): (1,2)=4+1, (2,2) empty
+    assert(lines(7) == "1.500 2.500 ")  // bottom row (id_row 1)
   }
 }
