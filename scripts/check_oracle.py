@@ -7,6 +7,9 @@ con = duckdb.connect()
 for t in ['lineitem','orders','customer','documents','embeddings','events','part','supplier','nation','region']:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 oracle = json.load(open(f'{out}/oracle_sql.json'))
+if len(sys.argv) > 3:  # optional comma-separated query-name filter (dev)
+    names = set(sys.argv[3].split(','))
+    oracle = {k: v for k, v in oracle.items() if k in names}
 fails = 0
 for name, sql in sorted(oracle.items()):
     try:

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geom.{GeoFunctions => G}
+import graft.index.CellGrid
+import graft.operators.SpatialUnits
+
+/**
+ * Fourth query batch (round 2): the TSU preparation front-half, UTRF
+ * random-forest apply, grid population, sprawl areas, and reprojection.
+ * Synthetic layers are axis-aligned integer rectangles/lines placed in
+ * DISJOINT x-bands of 1000 units per layer, so the oracle categorizes output
+ * rows by centroid-x band and replicates every filter/cluster/threshold in
+ * pure SQL (incl. the vegetation/water connected components via a recursive
+ * CTE) — see "Oracle-exactness rules", Queries.scala.
+ */
+object Queries4 {
+
+  private val grid = CellGrid.fixture
+  private val Res = 10
+
+  // ---- synthetic layers for prepareTSUData (x-band per category) ----------
+  // zone band 0, road 1000, rail 2000, veget 3000, water 4000, land 5000,
+  // urban 6000. All coordinates integral -> lengths/areas exact doubles.
+
+  private def zoneL(s: SparkSession): DataFrame =
+    s.range(1).select(G.stMakeBox(lit(0.0), lit(0.0), lit(300.0), lit(300.0)).as("the_geom"))
+
+  private def roadL(s: SparkSession): DataFrame =
+    s.range(0, 40).select(
+      col("id").as("id_road"),
+      G.stGeomFromWkt(format_string("LINESTRING(%d 0, %d 20)",
+        lit(1000) + col("id") * 5, lit(1000) + col("id") * 5)).as("the_geom"),
+      element_at(lit(Array("highway", "track", "residential", "service", "primary")),
+        (col("id") % 5).cast("int") + 1).as("type"),
+      (col("id") % 2).cast("int").as("zindex"),
+      when(col("id") % 7 === 0, "bridge").otherwise(lit(null).cast("string")).as("crossing"),
+      when(col("id") % 11 === 0, 1).otherwise(0).as("tunnel"))
+
+  private def railL(s: SparkSession): DataFrame =
+    s.range(0, 20).select(
+      col("id").as("id_rail"),
+      G.stGeomFromWkt(format_string("LINESTRING(2000 %d, 2015 %d)",
+        col("id") * 7, col("id") * 7)).as("the_geom"),
+      when(col("id") % 3 =!= 0, "main").otherwise("service").as("usage"),
+      (col("id") % 2).cast("int").as("zindex"),
+      when(col("id") % 4 === 0, "bridge").otherwise(lit(null).cast("string")).as("crossing"))
+
+  /** vegetation strips: row r has (1 + r%4) 'low' then (r%4) 'high' adjacent
+    * 2x2 rects — one contact cluster per strip; per-class unions thresholded. */
+  private def vegetL(s: SparkSession): DataFrame =
+    s.range(0, 10).select(col("id").as("r"),
+        explode(sequence(lit(0), (lit(1) + col("id") % 4) + (col("id") % 4) - 1)).as("j"))
+      .select(
+        (col("r") * 100 + col("j")).as("id_veget"),
+        G.stMakeBox(lit(3000.0) + col("j") * 2, lit(400.0) + col("r") * 10,
+          lit(3000.0) + col("j") * 2 + 2, lit(400.0) + col("r") * 10 + 2).as("the_geom"),
+        when(col("j") < col("r") % 4 + 1, "low").otherwise("high").as("height_class"),
+        lit(0).as("zindex"))
+
+  /** water strips: row r has (3 + r%3) adjacent 3x3 rects; member zindex=1
+    * when (j² + r) % 5 < 2, so strip r=1 has two ADJACENT zindex-1 members
+    * (j=2,3) and splits — exercising the reference's a.zindex=0 edge rule. */
+  private def waterL(s: SparkSession): DataFrame =
+    s.range(0, 6).select(col("id").as("r"),
+        explode(sequence(lit(0), lit(2) + col("id") % 3)).as("j"))
+      .select(
+        (col("r") * 100 + col("j")).as("id_water"),
+        G.stMakeBox(lit(4000.0) + col("j") * 3, lit(500.0) + col("r") * 10,
+          lit(4000.0) + col("j") * 3 + 3, lit(500.0) + col("r") * 10 + 3).as("the_geom"),
+        when((col("j") * col("j") + col("r")) % 5 < 2, 1).otherwise(0).as("zindex"))
+
+  private def landL(s: SparkSession): DataFrame =
+    s.range(0, 4).select(
+      G.stMakeBox(lit(5000.0) + col("id") * 10, lit(250.0),
+        lit(5000.0) + col("id") * 10 + 8, lit(258.0)).as("the_geom"),
+      when(col("id") % 2 === 0, "land").otherwise("sea").as("type"))
+
+  private def urbanL(s: SparkSession): DataFrame =
+    s.range(0, 10).select(
+      G.stMakeBox(lit(6000.0) + col("id") * 12, lit(350.0),
+        lit(6000.0) + col("id") * 12 + (col("id") % 5) + 4, lit(360.0)).as("the_geom"),
+      when(col("id") % 4 === 0, "social_building")
+        .when(col("id") % 6 === 5, lit(null).cast("string"))
+        .otherwise("residential").as("type"))
+
+  // =========================================================================
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- prepareTSUData (SpatialUnits.groovy:171-364): per-layer filters,
+    //    vegetation/water contact clustering with surface thresholds, line
+    //    mesh assembly. Output categorized by x-band; counts + total
+    //    boundary length per category. -----------------------------------
+    "geo_tsu_prepare" -> ((s, dir) => {
+      val prepared = SpatialUnits.prepareTSUData(
+        zoneL(s), Some(roadL(s)), Some(railL(s)), Some(vegetL(s)),
+        Some(waterL(s)), Some(landL(s)), Some(urbanL(s)),
+        surfaceVegetation = 10.0, surfaceHydro = 20.0, surfaceUrbanAreas = 60.0,
+        grid, Res)
+      prepared
+        .select(floor(G.stX(G.stCentroid(col("the_geom"))) / 1000).cast("long").as("category"),
+          G.stLength(col("the_geom")).as("__len"))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n_geoms"), round(sum(col("__len")), 9).as("total_len"))
+        .orderBy("category")
+    }))
+
+  // =========================================================================
+  val oracles: Map[String, String] = Map(
+    // Category bands: 0 zone, 1 road, 2 rail, 3 veget, 4 water, 5 land,
+    // 6 urban. Every filter/threshold replicated; water clusters via
+    // recursive-CTE connected components with the reference's asymmetric
+    // a.zindex=0 edge rule; strip unions are axis-aligned runs, so the
+    // boundary length is 2*(width+height) analytically.
+    "geo_tsu_prepare" ->
+      """WITH RECURSIVE
+        |road_f AS (SELECT i FROM (SELECT range AS i FROM range(0, 40))
+        |  WHERE ((i % 2 = 0) OR (CASE WHEN i % 7 = 0 THEN 'bridge' END IN ('bridge', 'crossing')))
+        |    AND NOT (['highway','track','residential','service','primary'][CAST(i % 5 AS INT) + 1]
+        |      IN ('track','service','path','cycleway','steps','footway','pedestrian','ferry'))
+        |    AND (CASE WHEN i % 11 = 0 THEN 1 ELSE 0 END) = 0),
+        |rail_f AS (SELECT i FROM (SELECT range AS i FROM range(0, 20))
+        |  WHERE (CASE WHEN i % 3 <> 0 THEN 'main' ELSE 'service' END) = 'main'
+        |    AND ((i % 2 = 0) OR (CASE WHEN i % 4 = 0 THEN 'bridge' END) = 'bridge')),
+        |veg AS (SELECT r, 1 + r % 4 AS klow, r % 4 AS khigh FROM (SELECT range AS r FROM range(0, 10))),
+        |veg_rows AS (
+        |  SELECT r, 2 * (2 * klow + 2) AS perim FROM veg WHERE 4 * klow >= 10
+        |  UNION ALL
+        |  SELECT r, 2 * (2 * khigh + 2) AS perim FROM veg WHERE khigh > 0 AND 4 * khigh >= 10),
+        |wm AS (SELECT r, j, CASE WHEN (j * j + r) % 5 < 2 THEN 1 ELSE 0 END AS z
+        |  FROM (SELECT range AS r FROM range(0, 6)) CROSS JOIN (SELECT range AS j FROM range(0, 5))
+        |  WHERE j <= 2 + r % 3),
+        |we AS (SELECT a.r, a.j AS src, b.j AS dst FROM wm a JOIN wm b
+        |  ON a.r = b.r AND abs(a.j - b.j) = 1 AND a.z = 0),
+        |esym AS (SELECT r, src, dst FROM we UNION SELECT r, dst, src FROM we),
+        |wreach AS (
+        |  SELECT r, j AS a, j AS b FROM wm
+        |  UNION
+        |  SELECT wr.r, wr.a, e.dst AS b FROM wreach wr JOIN esym e ON wr.r = e.r AND wr.b = e.src),
+        |wcomp AS (SELECT r, a AS j, min(b) AS comp FROM wreach GROUP BY 1, 2),
+        |wgrp AS (SELECT r, comp, count(*) AS cnt FROM wcomp GROUP BY 1, 2),
+        |water_f AS (SELECT r, comp, 2 * (3 * cnt + 3) AS perim FROM wgrp WHERE 9 * cnt >= 20),
+        |urb_f AS (SELECT i, 2 * ((4 + i % 5) + 10) AS perim
+        |  FROM (SELECT range AS i FROM range(0, 10))
+        |  WHERE 10 * (4 + i % 5) >= 60
+        |    AND (CASE WHEN i % 4 = 0 THEN 'social_building'
+        |              WHEN i % 6 = 5 THEN NULL ELSE 'residential' END)
+        |        NOT IN ('social_building'))
+        |SELECT CAST(category AS BIGINT) AS category, n_geoms,
+        |  round(total_len, 9) AS total_len FROM (
+        |  SELECT 0 AS category, CAST(1 AS BIGINT) AS n_geoms, 1200.0 AS total_len
+        |  UNION ALL SELECT 1, count(*), CAST(count(*) * 20 AS DOUBLE) FROM road_f
+        |  UNION ALL SELECT 2, count(*), CAST(count(*) * 15 AS DOUBLE) FROM rail_f
+        |  UNION ALL SELECT 3, count(*), CAST(sum(perim) AS DOUBLE) FROM veg_rows
+        |  UNION ALL SELECT 4, count(*), CAST(sum(perim) AS DOUBLE) FROM water_f
+        |  UNION ALL SELECT 5, CAST(2 AS BIGINT), 64.0
+        |  UNION ALL SELECT 6, count(*), CAST(sum(perim) AS DOUBLE) FROM urb_f
+        |) ORDER BY category""".stripMargin)
+}
