@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.geom.{GeoFunctions => G}
 import graft.index.CellGrid
+import graft.ml.RandomForest
 import graft.operators.SpatialUnits
 
 /**
@@ -85,8 +86,71 @@ object Queries4 {
         .when(col("id") % 6 === 5, lit(null).cast("string"))
         .otherwise("residential").as("type"))
 
+  // ---- random-forest apply (TypologyClassification.groovy:654-805) --------
+  // UTRF typology classes (reference vocabulary: TypologyClassification's
+  // UTRF output legend — ba/bgh/icif/icio/id/local/pcif/pcio/pd/psc).
+  private val UtrfClasses = Seq("ba", "bgh", "icif", "icio", "id",
+    "local", "pcif", "pcio", "pd", "psc")
+
+  /** (name, lo, hi, Spark column over doc_id d, SQL expr over d) — synthetic
+    * building-scale indicator features; same arithmetic on both engines. */
+  private val rfFeatures: Seq[(String, Double, Double, org.apache.spark.sql.Column, String)] = {
+    val d = col("doc_id")
+    Seq(
+      ("area", 0.0, 500.0, (d * 7 % 500).cast("double"), "CAST(d * 7 % 500 AS DOUBLE)"),
+      ("floor_area_ratio", 0.0, 3.0, (d % 300).cast("double") / 100, "CAST(d % 300 AS DOUBLE) / 100"),
+      ("aspect_ratio", 0.0, 2.0, (d * 3 % 200).cast("double") / 100, "CAST(d * 3 % 200 AS DOUBLE) / 100"),
+      ("form_factor", 0.0, 1.0, (d * 11 % 100).cast("double") / 100, "CAST(d * 11 % 100 AS DOUBLE) / 100"),
+      ("height_wall", 0.0, 30.0, (d % 30).cast("double"), "CAST(d % 30 AS DOUBLE)"),
+      ("contiguity", 0.0, 1.0, (d * 13 % 100).cast("double") / 100, "CAST(d * 13 % 100 AS DOUBLE) / 100"),
+      ("road_distance", 0.0, 100.0, (d * 17 % 100).cast("double"), "CAST(d * 17 % 100 AS DOUBLE)"))
+  }
+  private lazy val utrfForest = RandomForest.synthetic(
+    rfFeatures.map(f => (f._1, f._2, f._3)), numTrees = 15, depth = 4,
+    leafValue = r => r.nextInt(UtrfClasses.size).toDouble, seed = 101L)
+  private lazy val heightForest = RandomForest.synthetic(
+    rfFeatures.map(f => (f._1, f._2, f._3)), numTrees = 20, depth = 5,
+    leafValue = r => math.rint((3.0 + r.nextDouble() * 27.0) * 10000) / 10000, seed = 202L)
+
+  private def rfInput(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet").select(
+      col("doc_id").as("id_build") +: rfFeatures.map(f => f._4.as(f._1)): _*)
+
+  private val rfFeatSqlMap: Map[String, String] = rfFeatures.map(f => f._1 -> f._1).toMap
+  private def rfInputSql: String =
+    "b AS (SELECT doc_id AS id_build, " +
+      rfFeatures.map(f => s"${f._5} AS ${f._1}").mkString(", ") +
+      " FROM (SELECT doc_id, doc_id AS d FROM documents))"
+
   // =========================================================================
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- UTRF typology: random-forest classification apply (broadcast model
+    //    compiled to Catalyst CASE chains; majority vote, ties to smallest
+    //    class index — smile argmax). -------------------------------------
+    "utrf_classify" -> ((s, dir) => {
+      val in = rfInput(s, dir)
+      val feats = rfFeatures.map(f => f._1 -> col(f._1)).toMap
+      val votes = RandomForest.classifyVoteColumns(utrfForest, feats, UtrfClasses.size)
+      val withVotes = in.select(
+        col("id_build") +: votes.zipWithIndex.map { case (v, c) => v.as(s"__v$c") }: _*)
+      withVotes.select(col("id_build"),
+          RandomForest.argmaxColumn(
+            UtrfClasses.indices.map(c => col(s"__v$c")), UtrfClasses).as("typo_maj"),
+          col("__v0").cast("long").as("votes_ba"))
+        .orderBy("id_build")
+    }),
+
+    // -- building-height estimation: random-forest regression apply (mean of
+    //    tree outputs in tree order — WorkflowGeoIndicators.groovy:1254-1298
+    //    semantics, model synthesized offline). ---------------------------
+    "rf_height_estimate" -> ((s, dir) => {
+      val in = rfInput(s, dir)
+      val feats = rfFeatures.map(f => f._1 -> col(f._1)).toMap
+      in.select(col("id_build"),
+          round(RandomForest.regressColumn(heightForest, feats), 9).as("height_est"))
+        .orderBy("id_build")
+    }),
 
     // -- prepareTSUData (SpatialUnits.groovy:171-364): per-layer filters,
     //    vegetation/water contact clustering with surface thresholds, line
@@ -108,6 +172,20 @@ object Queries4 {
 
   // =========================================================================
   val oracles: Map[String, String] = Map(
+    "utrf_classify" -> {
+      val votes = RandomForest.classifyVoteSqls(utrfForest, rfFeatSqlMap, UtrfClasses.size)
+      val voteCols = votes.zipWithIndex.map { case (v, c) => s"$v AS v$c" }.mkString(", ")
+      val argmax = RandomForest.argmaxSql(UtrfClasses.indices.map(c => s"v$c"), UtrfClasses)
+      s"""WITH $rfInputSql,
+        |v AS (SELECT id_build, $voteCols FROM b)
+        |SELECT id_build, $argmax AS typo_maj, CAST(v0 AS BIGINT) AS votes_ba
+        |FROM v ORDER BY id_build""".stripMargin
+    },
+    "rf_height_estimate" -> {
+      val reg = RandomForest.regressSql(heightForest, rfFeatSqlMap)
+      s"""WITH $rfInputSql
+        |SELECT id_build, round($reg, 9) AS height_est FROM b ORDER BY id_build""".stripMargin
+    },
     // Category bands: 0 zone, 1 road, 2 rail, 3 veget, 4 water, 5 land,
     // 6 urban. Every filter/threshold replicated; water clusters via
     // recursive-CTE connected components with the reference's asymmetric
