@@ -80,17 +80,23 @@ object RandomForest {
 
   // ---- SQL emission (oracle parity) ---------------------------------------
 
+  /** Double literal with an explicit cast: bare SQL literals parse as
+    * DECIMAL (both DuckDB and Spark SQL), which would silently switch the
+    * arithmetic to decimal scale rules — the cast pins every comparison and
+    * sum to the same IEEE double ops Catalyst executes. */
+  private def D(x: Double): String = s"CAST(${L(x)} AS DOUBLE)"
+
   private def treeSql(n: Node, featSql: Map[String, String], features: Seq[String]): String =
     n match {
-      case Leaf(v) => L(v)
+      case Leaf(v) => D(v)
       case Split(f, thr, l, r) =>
-        s"(CASE WHEN ${featSql(features(f))} <= ${L(thr)} THEN " +
+        s"(CASE WHEN ${featSql(features(f))} <= ${D(thr)} THEN " +
           s"${treeSql(l, featSql, features)} ELSE ${treeSql(r, featSql, features)} END)"
     }
 
   def regressSql(forest: Forest, featSql: Map[String, String]): String =
     "(" + forest.trees.map(t => treeSql(t, featSql, forest.features)).mkString(" + ") +
-      s") / ${L(forest.trees.size.toDouble)}"
+      s") / ${D(forest.trees.size.toDouble)}"
 
   /** Per-class vote-count SQL expressions (to alias as columns in a CTE). */
   def classifyVoteSqls(forest: Forest, featSql: Map[String, String], numClasses: Int): Seq[String] = {

@@ -55,9 +55,7 @@ class RandomForestSpec extends SparkTestBase {
     // evaluate the emitted SQL through Spark SQL itself (same IEEE tree)
     df.createOrReplaceTempView("rf_in")
     val sql = RandomForest.regressSql(f, Map("a" -> "a", "b" -> "b"))
-    // SQL-parsed literals are DECIMAL (both Spark SQL and DuckDB): exact
-    // 3-decimal leaves make decimal and double sums agree at round 9
-    val viaSql = spark.sql(s"SELECT CAST(round($sql, 9) AS DOUBLE) AS p FROM rf_in")
+    val viaSql = spark.sql(s"SELECT round($sql, 9) AS p FROM rf_in")
       .collect().map(_.getDouble(0)).toSeq
     assert(catalyst == viaSql)
     assert(catalyst.distinct.size > 3) // non-degenerate
