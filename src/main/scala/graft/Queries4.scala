@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.geom.{GeoFunctions => G}
 import graft.index.CellGrid
 import graft.ml.RandomForest
-import graft.operators.SpatialUnits
+import graft.indicators.GridIndicators
+import graft.operators.{SpatialUnits, Tiling}
 
 /**
  * Fourth query batch (round 2): the TSU preparation front-half, UTRF
@@ -122,8 +123,79 @@ object Queries4 {
       rfFeatures.map(f => s"${f._5} AS ${f._1}").mkString(", ") +
       " FROM (SELECT doc_id, doc_id AS d FROM documents))"
 
+  // ---- sprawl scenario (SpatialUnits.groovy:611-758): 40x10 grid of 10x10
+  // cells; urban blobs A (with a 3x3 rural enclave) and B merge through a
+  // 10-unit gap under closing distance 15; C stays separate. Hand-derived
+  // final geometry (all axis-aligned):
+  //   sprawl AB = [0,190]x[10,70], sprawl C = [240,290]x[20,70],
+  //   cool enclave = [20,50]x[30,60], extent = [0,290]x[10,70].
+  private def sprawlGrid(s: SparkSession): DataFrame = {
+    val cells = Tiling.makeGrid(s, 0, 0, 400, 100, 10, 10)
+    val c = col("id_col"); val r = col("id_row")
+    val urban =
+      (c.between(1, 9) && r.between(2, 7) && !(c.between(3, 5) && r.between(4, 6))) ||
+      (c.between(11, 19) && r.between(2, 7)) ||
+      (c.between(25, 29) && r.between(3, 7))
+    cells.withColumn("lcz_primary", when(urban, 1).otherwise(101))
+  }
+
   // =========================================================================
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- sprawl areas: urban-cell union + closing (erode/dilate) ----------
+    "sprawl_areas" -> ((s, dir) => {
+      SpatialUnits.computeSprawlAreas(sprawlGrid(s), "lcz_primary", 15.0)
+        .select(col("id"),
+          round(G.stArea(col("the_geom")), 9).as("area"),
+          round(G.stPerimeter(col("the_geom")), 9).as("perimeter"))
+        .orderBy("id")
+    }),
+
+    // -- the full sprawl-distances chain (WorkflowGeoIndicators.groovy:
+    //    2436-2530): in-sprawl distance, out-of-sprawl distance (via the
+    //    inverse layer), and distance to cool areas inside the sprawl. ----
+    "sprawl_distances" -> ((s, dir) => {
+      val gi = sprawlGrid(s)
+      val cells = gi.select("id_grid", "the_geom")
+      val sprawl = SpatialUnits.computeSprawlAreas(gi, "lcz_primary", 15.0)
+        .localCheckpoint() // reused by 3 downstream branches
+      val indist = GridIndicators.gridDistances(sprawl.select("the_geom"), cells, grid, Res)
+        .withColumnRenamed("distance", "urban_sprawl_indist")
+      val inverse = SpatialUnits.inversePolygonsLayer(sprawl)
+      val outdist = GridIndicators.gridDistances(inverse.select("the_geom"), cells, grid, Res)
+        .withColumnRenamed("distance", "urban_sprawl_outdist")
+      val cool = SpatialUnits.extractCoolAreas(gi, "lcz_primary", sprawl, 7.5, grid, Res)
+      val invCool = SpatialUnits.inversePolygonsLayer(sprawl, cool, grid, Res)
+      val coolDist = GridIndicators.gridDistances(invCool.select("the_geom"), cells, grid, Res)
+        .withColumnRenamed("distance", "urban_sprawl_cool_indist")
+      gi.select("id_grid")
+        .join(indist, Seq("id_grid"), "left")
+        .join(outdist, Seq("id_grid"), "left")
+        .join(coolDist, Seq("id_grid"), "left")
+        .select(col("id_grid"),
+          round(col("urban_sprawl_indist"), 3).as("urban_sprawl_indist"),
+          round(col("urban_sprawl_outdist"), 3).as("urban_sprawl_outdist"),
+          round(col("urban_sprawl_cool_indist"), 3).as("urban_sprawl_cool_indist"))
+        .orderBy("id_grid")
+    }),
+
+    // -- grid population disaggregation (GridIndicators.groovy:45-109) ----
+    "grid_population" -> ((s, dir) => {
+      val cells = Tiling.makeGrid(s, 0, 0, 100, 100, 10, 10)
+      val pop = s.read.parquet(s"$dir/documents.parquet").where(col("doc_id") < 50)
+        .select(col("doc_id").as("id_pop"),
+          G.stMakeBox((col("doc_id") * 13 % 90).cast("double"),
+            (col("doc_id") * 29 % 90).cast("double"),
+            (col("doc_id") * 13 % 90).cast("double") + (col("doc_id") % 12).cast("double") + 4,
+            (col("doc_id") * 29 % 90).cast("double") + (col("doc_id") * 3 % 12).cast("double") + 4)
+            .as("the_geom"),
+          ((col("doc_id") % 17 + 1) * 10).cast("double").as("pop"),
+          (col("doc_id") % 7 + 1).cast("double").as("pop2"))
+      GridIndicators.gridPopulation(cells, pop, Seq("pop", "pop2"), grid, Res)
+        .select(col("id_grid"),
+          round(col("pop"), 9).as("pop"), round(col("pop2"), 9).as("pop2"))
+        .orderBy("id_grid")
+    }),
 
     // -- UTRF typology: random-forest classification apply (broadcast model
     //    compiled to Catalyst CASE chains; majority vote, ties to smallest
@@ -172,6 +244,69 @@ object Queries4 {
 
   // =========================================================================
   val oracles: Map[String, String] = Map(
+    // Hand-derived closing result (see sprawlGrid comment): A(+enclave
+    // removed as a hole)+B merge across the 10-unit gap under distance 15
+    // -> [0,190]x[10,70]; C survives the d² erosion filter -> [240,290]x
+    // [20,70]. Ids in centroid order.
+    "sprawl_areas" ->
+      """SELECT CAST(id AS INTEGER) AS id, CAST(area AS DOUBLE) AS area,
+        |  CAST(perimeter AS DOUBLE) AS perimeter
+        |FROM (VALUES (1, 11400.0, 500.0), (2, 2500.0, 200.0)) AS t(id, area, perimeter)
+        |ORDER BY id""".stripMargin,
+
+    // Full analytic replica of the distances chain over the hand-derived
+    // rects: AB=[0,190]x[10,70], C=[240,290]x[20,70], enclave=[20,50]x
+    // [30,60], extent=[0,290]x[10,70]. Cell centroids never touch a
+    // boundary (5-offsets vs 10-multiples). Diagonal distances are
+    // JTS Math.hypot vs sqrt -> round 3 (oracle-exactness rules).
+    "sprawl_distances" ->
+      """WITH cells AS (SELECT CAST(range AS BIGINT) AS id_grid,
+        |    CAST(range % 40 AS DOUBLE)*10 + 5 AS cx, CAST(range // 40 AS DOUBLE)*10 + 5 AS cy
+        |  FROM range(0, 400)),
+        |d AS (SELECT id_grid,
+        |  CASE WHEN cx > 0 AND cx < 190 AND cy > 10 AND cy < 70
+        |       THEN least(cx - 0, 190 - cx, cy - 10, 70 - cy)
+        |       WHEN cx > 240 AND cx < 290 AND cy > 20 AND cy < 70
+        |       THEN least(cx - 240, 290 - cx, cy - 20, 70 - cy) END AS indist,
+        |  CASE WHEN cx > 0 AND cx < 290 AND cy > 10 AND cy < 70
+        |        AND NOT (cx > 0 AND cx < 190 AND cy > 10 AND cy < 70)
+        |        AND NOT (cx > 240 AND cx < 290 AND cy > 20 AND cy < 70)
+        |       THEN least(cx - 0, 290 - cx, cy - 10, 70 - cy,
+        |         sqrt(power(greatest(0 - cx, cx - 190, 0), 2) + power(greatest(10 - cy, cy - 70, 0), 2)),
+        |         sqrt(power(greatest(240 - cx, cx - 290, 0), 2) + power(greatest(20 - cy, cy - 70, 0), 2)))
+        |       END AS outdist,
+        |  CASE WHEN cx > 0 AND cx < 190 AND cy > 10 AND cy < 70
+        |        AND NOT (cx > 20 AND cx < 50 AND cy > 30 AND cy < 60)
+        |       THEN least(cx - 0, 190 - cx, cy - 10, 70 - cy,
+        |         sqrt(power(greatest(20 - cx, cx - 50, 0), 2) + power(greatest(30 - cy, cy - 60, 0), 2)))
+        |       END AS cooldist
+        |  FROM cells)
+        |SELECT id_grid, round(indist, 3) AS urban_sprawl_indist,
+        |  round(outdist, 3) AS urban_sprawl_outdist,
+        |  round(cooldist, 3) AS urban_sprawl_cool_indist
+        |FROM d ORDER BY id_grid""".stripMargin,
+
+    "grid_population" ->
+      """WITH cells AS (SELECT CAST(range AS BIGINT) AS id_grid,
+        |    CAST(range % 10 AS DOUBLE)*10 AS x0, CAST(range // 10 AS DOUBLE)*10 AS y0
+        |  FROM range(0, 100)),
+        |z AS (SELECT doc_id AS id_pop,
+        |    CAST(doc_id*13 % 90 AS DOUBLE) AS zx, CAST(doc_id*29 % 90 AS DOUBLE) AS zy,
+        |    CAST(doc_id % 12 AS DOUBLE) + 4 AS w, CAST(doc_id*3 % 12 AS DOUBLE) + 4 AS h,
+        |    CAST((doc_id % 17 + 1)*10 AS DOUBLE) AS pop, CAST(doc_id % 7 + 1 AS DOUBLE) AS pop2
+        |  FROM documents WHERE doc_id < 50),
+        |i AS (SELECT c.id_grid, z.id_pop, z.pop, z.pop2,
+        |    greatest(0.0, least(c.x0+10, z.zx+z.w) - greatest(c.x0, z.zx))
+        |  * greatest(0.0, least(c.y0+10, z.zy+z.h) - greatest(c.y0, z.zy)) AS a
+        |  FROM cells c JOIN z ON c.x0 <= z.zx+z.w AND z.zx <= c.x0+10
+        |    AND c.y0 <= z.zy+z.h AND z.zy <= c.y0+10),
+        |sa AS (SELECT id_pop, sum(a) AS sum_area FROM i GROUP BY 1),
+        |sh AS (SELECT id_grid, sum(a * pop / sum_area) AS pop,
+        |    sum(a * pop2 / sum_area) AS pop2
+        |  FROM i JOIN sa USING (id_pop) GROUP BY 1)
+        |SELECT c.id_grid, round(sh.pop, 9) AS pop, round(sh.pop2, 9) AS pop2
+        |FROM cells c LEFT JOIN sh ON c.id_grid = sh.id_grid
+        |ORDER BY c.id_grid""".stripMargin,
     "utrf_classify" -> {
       val votes = RandomForest.classifyVoteSqls(utrfForest, rfFeatSqlMap, UtrfClasses.size)
       val voteCols = votes.zipWithIndex.map { case (v, c) => s"$v AS v$c" }.mkString(", ")

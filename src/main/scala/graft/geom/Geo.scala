@@ -129,6 +129,28 @@ object Geo {
     org.locationtech.jts.operation.buffer.BufferOp.bufferOp(g, dist, bp)
   }
 
+  /** ST_REMOVEHOLES: every polygon keeps only its exterior ring
+    * (sprawl-areas chain — SpatialUnits.groovy:638,661). */
+  def removeHoles(g: Geometry): Geometry = g match {
+    case p: Polygon => factory.createPolygon(p.getExteriorRing.getCoordinateSequence)
+    case mp: MultiPolygon =>
+      factory.createMultiPolygon(
+        (0 until mp.getNumGeometries).map(i =>
+          removeHoles(mp.getGeometryN(i)).asInstanceOf[Polygon]).toArray)
+    case gc: GeometryCollection =>
+      factory.createGeometryCollection(
+        (0 until gc.getNumGeometries).map(i => removeHoles(gc.getGeometryN(i))).toArray)
+    case other => other
+  }
+
+  /** The sprawl chain's morphological-closing buffer: quad_segs=2,
+    * endcap=flat, join=mitre, mitre_limit=2 (SpatialUnits.groovy:659-661). */
+  def bufferClosing(g: Geometry, dist: Double): Geometry = {
+    val bp = new BufferParameters(2, BufferParameters.CAP_FLAT,
+      BufferParameters.JOIN_MITRE, 2.0)
+    org.locationtech.jts.operation.buffer.BufferOp.bufferOp(g, dist, bp)
+  }
+
   /** ST_EXPAND: envelope grown by d in every direction (BuildingIndicators.groovy:311). */
   def expand(g: Geometry, d: Double): Geometry = {
     val e = g.getEnvelopeInternal

@@ -45,6 +45,14 @@ object GeoFunctions {
   val stBufferQuad   = udf((b: Array[Byte], d: Double, quadSegs: Int) =>
     Geo.toWkb(Geo.fromWkb(b).buffer(d, quadSegs)))
   val stPrecisionReduce = udf((b: Array[Byte], digits: Int) => Geo.toWkb(Geo.precisionReduce(Geo.fromWkb(b), digits)))
+  val stRemoveHoles  = udf((b: Array[Byte]) => Geo.toWkb(Geo.removeHoles(Geo.fromWkb(b))))
+  /** Sprawl closing buffer: quad 2, flat, mitre limit 2 (SpatialUnits.groovy:659-661). */
+  val stBufferClosing = udf((b: Array[Byte], d: Double) => Geo.toWkb(Geo.bufferClosing(Geo.fromWkb(b), d)))
+  // envelope bounds (ST_EXTENT building blocks)
+  val stXMin = udf((b: Array[Byte]) => Geo.fromWkb(b).getEnvelopeInternal.getMinX)
+  val stYMin = udf((b: Array[Byte]) => Geo.fromWkb(b).getEnvelopeInternal.getMinY)
+  val stXMax = udf((b: Array[Byte]) => Geo.fromWkb(b).getEnvelopeInternal.getMaxX)
+  val stYMax = udf((b: Array[Byte]) => Geo.fromWkb(b).getEnvelopeInternal.getMaxY)
 
   // -- binary ops --
   val stIntersection = udf((a: Array[Byte], b: Array[Byte]) => Geo.toWkb(Geo.fromWkb(a).intersection(Geo.fromWkb(b))))

@@ -67,6 +67,34 @@ object GridIndicators {
   }
 
   /**
+   * Grid population disaggregation (GridIndicators.groovy:45-109): each
+   * population zone's counts are split across the grid cells it intersects,
+   * weighted by intersection area over the zone's TOTAL intersected area;
+   * cells outside every zone keep NULL (the reference's LEFT JOIN).
+   * One cell-equijoin + two hash aggregates — no correlated subqueries.
+   */
+  def gridPopulation(gridCells: DataFrame, population: DataFrame,
+                     popColumns: Seq[String], grid: CellGrid, res: Int): DataFrame = {
+    val popSel = population.select(
+      (col("id_pop") +: col("the_geom").as("__pgeom") +:
+        popColumns.map(c => col(c).as(s"__p_$c"))): _*)
+    val inter = SpatialJoin.candidates(
+        gridCells.select(col("id_grid"), col("the_geom")), "the_geom",
+        popSel, "__pgeom", grid, res, broadcastB = false)
+      .where(G.stIntersects(col("__pgeom"), col("the_geom")))
+      .withColumn("area_rsu", G.stIntersectionArea(col("__pgeom"), col("the_geom")))
+      .select(col("id_grid") +: col("id_pop") +: col("area_rsu") +:
+        popColumns.map(c => col(s"__p_$c")): _*)
+    val zoneArea = inter.groupBy("id_pop").agg(sum("area_rsu").as("__sum_area"))
+    val aggs = popColumns.map(c =>
+      sum(col("area_rsu") * col(s"__p_$c") / col("__sum_area")).as(c))
+    val shares = inter.join(zoneArea, "id_pop")
+      .groupBy("id_grid")
+      .agg(aggs.head, aggs.tail: _*)
+    gridCells.join(shares, Seq("id_grid"), "left")
+  }
+
+  /**
    * Distance of each grid cell (centroid inside a polygon) to that polygon's
    * boundary — GridIndicators.groovy:293-329, there a driver-side Groovy
    * double loop with per-row JDBC batch inserts over an IndexedFacetDistance;

@@ -139,6 +139,115 @@ object SpatialUnits {
       .dropDuplicates("the_geom") // reference UNION (not UNION ALL) dedups
   }
 
+  /** LCZ classes counted as rural/cool (SpatialUnits.groovy:641,737). */
+  val RuralLcz: Seq[Int] = Seq(101, 102, 103, 104, 106, 107)
+
+  private def mintIds(df: DataFrame): DataFrame =
+    df.withColumn("__cx", G.stX(G.stCentroid(col("the_geom"))))
+      .withColumn("__cy", G.stY(G.stCentroid(col("the_geom"))))
+      .withColumn("id", row_number().over(Window.orderBy(col("__cx"), col("__cy"))))
+      .select(col("id"), col("the_geom"))
+
+  /**
+   * Sprawl areas (SpatialUnits.groovy:611-673): continuous urban-LCZ area =
+   * union of non-rural grid cells, exploded, holes removed, small patches
+   * dropped (erosion-area > 1), then a morphological CLOSING (dilate
+   * `distance`, union, erode `distance` — quad 2/flat/mitre limit 2) merges
+   * patches closer than 2·distance; final parts keep erosion-area > d².
+   *
+   * The two unions are whole-layer geometry ops, like the reference's
+   * (single-zone) ST_UNION(ST_ACCUM(...)); at scale this operator runs per
+   * zone — each zone one task, zones parallel (same shape as polygonize,
+   * SURVEY §7.4.2). Output ids are minted over centroid order (the handful
+   * of sprawl polygons per zone — not a data-scale window).
+   */
+  def computeSprawlAreas(gridIndicators: DataFrame, lczCol: String,
+                         distance: Double): DataFrame = {
+    require(distance >= 0, "distance must be >= 0")
+    val urban = gridIndicators.where(!col(lczCol).isin(RuralLcz: _*))
+    val parts = urban.agg(G.st_union_agg(col("the_geom")).as("__u"))
+      .select(explode(G.stExplode(col("__u"))).as("the_geom"))
+    if (distance == 0)
+      return mintIds(parts.select(G.stRemoveHoles(col("the_geom")).as("the_geom"))
+        .where(!G.stIsEmpty(col("the_geom"))))
+    // the reference filters the RAW exploded part (holes still present),
+    // THEN strips holes (SpatialUnits.groovy:652-656 WHERE vs SELECT)
+    val tmp = parts
+      .where(G.stArea(G.stBufferQuad(col("the_geom"), lit(-distance), lit(2))) > 1)
+      .select(G.stRemoveHoles(col("the_geom")).as("the_geom"))
+    val closed = tmp
+      .select(G.stBufferClosing(G.stRemoveHoles(col("the_geom")), lit(distance)).as("g"))
+      .agg(G.st_union_agg(col("g")).as("__u"))
+      .select(G.stRemoveHoles(
+        G.stBufferClosing(col("__u"), lit(-distance))).as("__c"))
+      .select(explode(G.stExplode(col("__c"))).as("the_geom"))
+      .where(!G.stIsEmpty(col("the_geom"))
+        && G.stArea(G.stBufferQuad(col("the_geom"), lit(-distance), lit(2))) > distance * distance)
+    mintIds(closed)
+  }
+
+  /**
+   * Inverse layer (SpatialUnits.groovy:681-699): collective extent of the
+   * input polygons minus the polygons, exploded.
+   */
+  def inversePolygonsLayer(polys: DataFrame): DataFrame = {
+    val inv = polys
+      .agg(min(G.stXMin(col("the_geom"))).as("x0"), min(G.stYMin(col("the_geom"))).as("y0"),
+        max(G.stXMax(col("the_geom"))).as("x1"), max(G.stYMax(col("the_geom"))).as("y1"),
+        G.st_union_agg(col("the_geom")).as("__u"))
+      .select(explode(G.stExplode(G.stDifference(
+        G.stMakeBox(col("x0"), col("y0"), col("x1"), col("y1")), col("__u")))).as("the_geom"))
+      .where(!G.stIsEmpty(col("the_geom")))
+    mintIds(inv)
+  }
+
+  /**
+   * Inverse layer, masked form (SpatialUnits.groovy:707-727): each input
+   * polygon that contains the point-on-surface of some `toRemove` polygon,
+   * minus the union of ALL its matching `toRemove` polygons.
+   */
+  def inversePolygonsLayer(polys: DataFrame, toRemove: DataFrame,
+                           grid: graft.index.CellGrid, res: Int): DataFrame = {
+    val rm = toRemove.select(G.stPointOnSurf(col("the_geom")).as("__pos"),
+      col("the_geom").as("__rgeom"))
+    val pts = rm.select(G.stX(col("__pos")).as("__px"), G.stY(col("__pos")).as("__py"),
+      col("__rgeom"))
+    val matched = SpatialJoin.pointInPolygon(pts, "__px", "__py",
+      polys.select(col("the_geom")), "the_geom", grid, res)
+    val inv = matched.groupBy(col("the_geom"))
+      .agg(G.st_union_agg(col("__rgeom")).as("__u"))
+      .select(explode(G.stExplode(
+        G.stDifference(col("the_geom"), col("__u")))).as("the_geom"))
+      .where(!G.stIsEmpty(col("the_geom")))
+    mintIds(inv)
+  }
+
+  /**
+   * Cool areas (SpatialUnits.groovy:735-758): union of rural-LCZ grid cells
+   * whose point-on-surface lies inside the mask polygons, exploded; parts
+   * with erosion-area <= distance² dropped (distance > 0).
+   */
+  def extractCoolAreas(gridIndicators: DataFrame, lczCol: String,
+                       mask: DataFrame, distance: Double,
+                       grid: graft.index.CellGrid, res: Int): DataFrame = {
+    val rural = gridIndicators.where(col(lczCol).isin(RuralLcz: _*))
+      .select(col("the_geom").as("__cgeom"),
+        G.stPointOnSurf(col("the_geom")).as("__pos"))
+      .select(col("__cgeom"), G.stX(col("__pos")).as("__px"), G.stY(col("__pos")).as("__py"))
+    val inMask = SpatialJoin.pointInPolygon(rural, "__px", "__py",
+        mask.select(col("the_geom").as("__mgeom")), "__mgeom", grid, res)
+      .select(col("__cgeom")).dropDuplicates("__cgeom")
+    val parts = inMask.agg(G.st_union_agg(col("__cgeom")).as("__u"))
+      .select(explode(G.stExplode(col("__u"))).as("the_geom"))
+      .where(!G.stIsEmpty(col("the_geom")))
+    val filtered =
+      if (distance > 0)
+        parts.where(G.stArea(G.stBufferQuad(col("the_geom"), lit(-distance), lit(2)))
+          > distance * distance)
+      else parts
+    mintIds(filtered)
+  }
+
   /**
    * Polygonize per-zone linework into TSU faces.
    * @param lines rows of (zone id, line WKB)
