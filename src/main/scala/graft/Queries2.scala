@@ -544,6 +544,17 @@ object Queries2 {
         .orderBy("id_rsu")
     }),
 
+    // -- directional projected facade density (RsuIndicators.groovy:988-1034):
+    //    per-direction layer sums over RSU area -----------------------------
+    "rsu_facade_density_dir" -> ((s, dir) => {
+      val withGeom = facDist(s, dir).join(facBands(s), "id_rsu")
+      RsuIndicators.projectedFacadeDensityDir(withGeom, FacLayerNames, FacDirNames)
+        .select(col("id_rsu") +: FacDirNames.map(d =>
+          round(col(s"projected_facade_density_dir_$d"), 6)
+            .as(s"projected_facade_density_dir_$d")): _*)
+        .orderBy("id_rsu")
+    }),
+
     // -- effective terrain roughness length z0 (RsuIndicators.groovy:901-957):
     //    lambda_f from the facade distribution, Hanna&Britter piecewise ------
     "rsu_roughness_length" -> ((s, dir) => {
@@ -1064,6 +1075,17 @@ object Queries2 {
         |g AS (SELECT id_rsu, ${facCellsSql.mkString(", ")} FROM fb GROUP BY 1)
         |SELECT b.id_rsu,
         |  $outer
+        |FROM bands b LEFT JOIN g ON b.id_rsu = g.id_rsu ORDER BY b.id_rsu""".stripMargin
+    },
+    "rsu_facade_density_dir" -> {
+      val dirSums = FacDirNames.map { dn =>
+        val cells = FacLayerNames.map(ln => s"coalesce(g.__${ln}_$dn, 0.0)").mkString(" + ")
+        s"round(($cells) / 4000.0, 6) AS projected_facade_density_dir_$dn"
+      }.mkString(",\n  ")
+      s"""WITH $rectsSql, $facadeRowsSql,
+        |g AS (SELECT id_rsu, ${facCellsSql.mkString(", ")} FROM fb GROUP BY 1)
+        |SELECT b.id_rsu,
+        |  $dirSums
         |FROM bands b LEFT JOIN g ON b.id_rsu = g.id_rsu ORDER BY b.id_rsu""".stripMargin
     },
     "rsu_roughness_length" ->

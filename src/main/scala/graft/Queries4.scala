@@ -179,6 +179,23 @@ object Queries4 {
         .orderBy("id_grid")
     }),
 
+    // -- ST_TRANSFORM lon/lat -> UTM (WorkflowGeoIndicators.groovy:2283;
+    //    Karney-Krueger 6th-order series, zone 31 north). Oracle replicates
+    //    the series with exp/ln hyperbolics; libm 1-ulp differences are
+    //    ~1e-9 m -> round 3 (mm). -----------------------------------------
+    "geo_utm_transform" -> ((s, dir) => {
+      val src = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"),
+        (lit(2.5) + (col("doc_id") % 200).cast("double") / 100).as("lon"),
+        (lit(43.0) + (col("doc_id") * 7 % 600).cast("double") / 100).as("lat"))
+      src.select(col("doc_id"),
+          graft.geom.Projection.stTransformUtm(col("lon"), col("lat"),
+            lit(31), lit(true)).as("__utm"))
+        .select(col("doc_id"),
+          round(col("__utm._1"), 3).as("easting"),
+          round(col("__utm._2"), 3).as("northing"))
+        .orderBy("doc_id")
+    }),
+
     // -- grid population disaggregation (GridIndicators.groovy:45-109) ----
     "grid_population" -> ((s, dir) => {
       val cells = Tiling.makeGrid(s, 0, 0, 100, 100, 10, 10)
@@ -285,6 +302,17 @@ object Queries4 {
         |  round(outdist, 3) AS urban_sprawl_outdist,
         |  round(cooldist, 3) AS urban_sprawl_cool_indist
         |FROM d ORDER BY id_grid""".stripMargin,
+
+    "geo_utm_transform" -> {
+      val ctes = graft.geom.Projection.utmForwardSqlCtes("src", zone = 31)
+      s"""WITH src AS (SELECT doc_id,
+        |    2.5 + CAST(doc_id % 200 AS DOUBLE) / 100 AS lon,
+        |    43.0 + CAST(doc_id * 7 % 600 AS DOUBLE) / 100 AS lat
+        |  FROM documents),
+        |$ctes
+        |SELECT doc_id, round(easting, 3) AS easting, round(northing, 3) AS northing
+        |FROM utm ORDER BY doc_id""".stripMargin
+    },
 
     "grid_population" ->
       """WITH cells AS (SELECT CAST(range AS BIGINT) AS id_grid,

@@ -494,6 +494,20 @@ object RsuIndicators {
   }
 
   /**
+   * Directional projected facade density (RsuIndicators.groovy:988-1034):
+   * per wind direction, the sum of the facade-distribution columns across
+   * height layers divided by the RSU area. A pure projection over the
+   * projectedFacadeAreaDistribution output joined with the RSU geometry.
+   */
+  def projectedFacadeDensityDir(facadeDistWithRsu: DataFrame,
+                                layerNames: Seq[String], dirNames: Seq[String],
+                                outPrefix: String = "projected_facade_density_dir_"): DataFrame =
+    facadeDistWithRsu.select(col("id_rsu") +: dirNames.map { d =>
+      (layerNames.map(l => col(s"projected_facade_area_distribution_${l}_$d")).reduce(_ + _)
+        / G.stArea(col("the_geom"))).as(s"$outPrefix$d")
+    }: _*)
+
+  /**
    * Smallest common geometry — RsuIndicators.groovy:1473-1590: the input
    * layers are clipped per RSU, their linework noded + polygonized, and each
    * resulting atom flagged by which layers cover its interior point. The
