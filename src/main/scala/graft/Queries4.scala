@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.geom.{GeoFunctions => G}
 import graft.index.CellGrid
 import graft.ml.RandomForest
-import graft.indicators.GridIndicators
+import graft.indicators.{GridIndicators, Svf}
 import graft.operators.{SpatialUnits, Tiling}
 
 /**
@@ -139,8 +139,38 @@ object Queries4 {
     cells.withColumn("lcz_primary", when(urban, 1).otherwise(101))
   }
 
+  // ---- exact-SVF scene: 4 RSU squares 100x100 at 120 spacing, 12 strictly
+  // interior non-overlapping buildings each (rays DO cross into neighbour
+  // RSUs — obstruction search is purely spatial, as in the reference).
+  private val SvfDirs = 12
+  private val SvfDensity = 0.002
+  private def svfRsu(s: SparkSession): DataFrame =
+    s.range(0, 4).select(col("id").cast("int").as("id_rsu"),
+      G.stMakeBox(col("id") * 120.0, lit(0.0), col("id") * 120.0 + 100, lit(100.0)).as("the_geom"))
+  private def svfBuildings(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    s.read.parquet(s"$dir/documents.parquet").where(d < 48).select(
+      d.as("id_build"),
+      G.stMakeBox(
+        (d % 4) * 120 + lit(10.0) + floor(d / 4) % 4 * 22,
+        lit(10.0) + floor(floor(d / 4) / 4) * 25,
+        (d % 4) * 120 + lit(10.0) + floor(d / 4) % 4 * 22 + (d % 5) + 6,
+        lit(10.0) + floor(floor(d / 4) / 4) * 25 + (d * 3 % 6) + 6).as("the_geom"),
+      (d % 15 + 3).cast("double").as("height_wall"))
+  }
+
   // =========================================================================
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- EXACT ground sky view factor (ST_SVF ray casting — RsuIndicators.
+    //    groovy:219-348; deterministic Halton sampling replaces the
+    //    reference's unseeded random ST_GENERATEPOINTS, see Svf scaladoc) --
+    "rsu_svf_exact" -> ((s, dir) => {
+      Svf.groundSkyViewFactor(svfRsu(s), svfBuildings(s, dir), grid, Res,
+          pointDensity = SvfDensity, rayLength = 100.0, numberOfDirection = SvfDirs)
+        .select(col("id_rsu"), round(col("ground_sky_view_factor"), 6).as("ground_sky_view_factor"))
+        .orderBy("id_rsu")
+    }),
 
     // -- sprawl areas: urban-cell union + closing (erode/dilate) ----------
     "sprawl_areas" -> ((s, dir) => {
@@ -259,8 +289,82 @@ object Queries4 {
         .orderBy("category")
     }))
 
+  /** Generated exact-SVF oracle: Halton radical inverses with the engine's
+    * own f-constants, direction vectors and density as exact round-trip
+    * literals, and the SAME ray/segment crossing formula — so both engines
+    * take identical branches; only summation order differs (round 6). */
+  private lazy val svfOracle: String = {
+    def L(x: Double): String = {
+      val s = x.toString
+      "CAST(" + (if (s.contains('.') || s.contains('E')) s else s + ".0") + " AS DOUBLE)"
+    }
+    // base-2 radical inverse: dyadic, exact in any order
+    val rad2 = (0 until 12).map(b => s"((i >> $b) & 1) * ${L(math.pow(0.5, b + 1))}")
+      .mkString(" + ")
+    // base-3: f-constants from the SAME successive-division loop as
+    // Svf.radical3 (1.0/3 then /=3 — NOT algebraic 3^-(b+1))
+    val f3 = { var f = 1.0 / 3; (0 until 8).map { _ => val v = f; f /= 3; v } }
+    val rad3 = f3.zipWithIndex.map { case (f, b) =>
+      val p3 = math.pow(3, b).toLong
+      s"((i // $p3) % 3) * ${L(f)}"
+    }.mkString(" + ")
+    val dirVals = Svf.directions(SvfDirs).zipWithIndex.map { case ((cx, cy), k) =>
+      s"($k, ${L(cx)}, ${L(cy)})"
+    }.mkString(", ")
+    s"""WITH b AS (SELECT doc_id AS id_build, CAST(doc_id % 4 AS INT) AS id_rsu,
+      |    CAST((doc_id % 4) * 120 + 10 + ((doc_id // 4) % 4) * 22 AS DOUBLE) AS bx0,
+      |    CAST(10 + ((doc_id // 4) // 4) * 25 AS DOUBLE) AS by0,
+      |    CAST((doc_id % 4) * 120 + 10 + ((doc_id // 4) % 4) * 22 + (doc_id % 5) + 6 AS DOUBLE) AS bx1,
+      |    CAST(10 + ((doc_id // 4) // 4) * 25 + (doc_id * 3 % 6) + 6 AS DOUBLE) AS by1,
+      |    CAST(doc_id % 15 + 3 AS DOUBLE) AS hw
+      |  FROM documents WHERE doc_id < 48),
+      |r AS (SELECT CAST(range AS INT) AS id_rsu, CAST(range * 120 AS DOUBLE) AS rx0 FROM range(0, 4)),
+      |ar AS (SELECT r.id_rsu, r.rx0,
+      |    10000.0 - (SELECT sum((bx1-bx0)*(by1-by0)) FROM b WHERE b.id_rsu = r.id_rsu) AS area_free
+      |  FROM r),
+      |np AS (SELECT id_rsu, rx0, least(CAST(floor(${L(SvfDensity)} * area_free) AS BIGINT), 100) AS n FROM ar),
+      |cand AS (SELECT np.id_rsu, np.n, i,
+      |    np.rx0 + ${L(1e-4)} + ($rad2) * ${L(100.0)} AS px,
+      |    ${L(0.0)} + ${L(1e-4)} + ($rad3) * ${L(100.0)} AS py
+      |  FROM np CROSS JOIN (SELECT CAST(range AS INT) AS i FROM range(1, 4097))),
+      |acc AS (SELECT *, row_number() OVER (PARTITION BY id_rsu ORDER BY i) AS rk FROM cand
+      |  WHERE px > rx0 AND px < rx0 + 100 AND py > 0 AND py < 100
+      |    AND NOT EXISTS (SELECT 1 FROM b WHERE b.id_rsu = cand.id_rsu
+      |      AND px >= b.bx0 AND px <= b.bx1 AND py >= b.by0 AND py <= b.by1)),
+      |pts AS (SELECT id_rsu, px, py FROM acc WHERE rk <= n),
+      |svfpts AS (SELECT * FROM pts WHERE EXISTS (SELECT 1 FROM b
+      |  WHERE sqrt(power(greatest(b.bx0 - px, px - b.bx1, 0), 2)
+      |           + power(greatest(b.by0 - py, py - b.by1, 0), 2)) <= 100)),
+      |segs AS (
+      |  SELECT hw, bx0 AS x1, by0 AS y1, bx1 AS x2, by0 AS y2 FROM b
+      |  UNION ALL SELECT hw, bx1, by0, bx1, by1 FROM b
+      |  UNION ALL SELECT hw, bx1, by1, bx0, by1 FROM b
+      |  UNION ALL SELECT hw, bx0, by1, bx0, by0 FROM b),
+      |dirs(k, cx, cy) AS (VALUES $dirVals),
+      |hits AS (SELECT p.id_rsu, p.px, p.py, d.k,
+      |    s.hw * s.hw / (s.hw * s.hw + t.t * t.t) AS sin2
+      |  FROM svfpts p CROSS JOIN dirs d CROSS JOIN segs s,
+      |  LATERAL (SELECT CASE WHEN d.cx * (s.y2 - s.y1) - d.cy * (s.x2 - s.x1) = 0 THEN NULL
+      |      ELSE ((s.x1 - p.px) * (s.y2 - s.y1) - (s.y1 - p.py) * (s.x2 - s.x1))
+      |           / (d.cx * (s.y2 - s.y1) - d.cy * (s.x2 - s.x1)) END AS t,
+      |    CASE WHEN d.cx * (s.y2 - s.y1) - d.cy * (s.x2 - s.x1) = 0 THEN NULL
+      |      ELSE (d.cy * (s.x1 - p.px) - d.cx * (s.y1 - p.py))
+      |           / (d.cx * (s.y2 - s.y1) - d.cy * (s.x2 - s.x1)) END AS u) t
+      |  WHERE t.t IS NOT NULL AND t.t > 0 AND t.t <= 100 AND t.u >= 0 AND t.u <= 1),
+      |dmax AS (SELECT id_rsu, px, py, k, max(sin2) AS m FROM hits GROUP BY 1, 2, 3, 4),
+      |persvf AS (SELECT p.id_rsu, p.px, p.py,
+      |    1.0 - coalesce((SELECT sum(m) FROM dmax d
+      |      WHERE d.id_rsu = p.id_rsu AND d.px = p.px AND d.py = p.py), 0.0) / $SvfDirs AS svf
+      |  FROM svfpts p),
+      |avgsvf AS (SELECT id_rsu, avg(svf) AS a FROM persvf GROUP BY 1)
+      |SELECT r.id_rsu, round(coalesce(avgsvf.a, 1.0), 6) AS ground_sky_view_factor
+      |FROM r LEFT JOIN avgsvf ON r.id_rsu = avgsvf.id_rsu
+      |ORDER BY r.id_rsu""".stripMargin
+  }
+
   // =========================================================================
   val oracles: Map[String, String] = Map(
+    "rsu_svf_exact" -> svfOracle,
     // Hand-derived closing result (see sprawlGrid comment): A(+enclave
     // removed as a hole)+B merge across the 10-unit gap under distance 15
     // -> [0,190]x[10,70]; C survives the d² erosion filter -> [240,290]x

@@ -46,6 +46,18 @@ object GeoFunctions {
     Geo.toWkb(Geo.fromWkb(b).buffer(d, quadSegs)))
   val stPrecisionReduce = udf((b: Array[Byte], digits: Int) => Geo.toWkb(Geo.precisionReduce(Geo.fromWkb(b), digits)))
   val stRemoveHoles  = udf((b: Array[Byte]) => Geo.toWkb(Geo.removeHoles(Geo.fromWkb(b))))
+  /** ST_EXTERIORRING of (the first polygon of) a polygonal geometry. */
+  val stExteriorRing = udf { (b: Array[Byte]) =>
+    Geo.fromWkb(b) match {
+      case p: org.locationtech.jts.geom.Polygon => Geo.toWkb(p.getExteriorRing)
+      case mp: org.locationtech.jts.geom.MultiPolygon if mp.getNumGeometries > 0 =>
+        Geo.toWkb(mp.getGeometryN(0).asInstanceOf[org.locationtech.jts.geom.Polygon].getExteriorRing)
+      case g => Geo.toWkb(g)
+    }
+  }
+  val stNormalize = udf { (b: Array[Byte]) =>
+    val g = Geo.fromWkb(b); g.normalize(); Geo.toWkb(g)
+  }
   /** Sprawl closing buffer: quad 2, flat, mitre limit 2 (SpatialUnits.groovy:659-661). */
   val stBufferClosing = udf((b: Array[Byte], d: Double) => Geo.toWkb(Geo.bufferClosing(Geo.fromWkb(b), d)))
   // envelope bounds (ST_EXTENT building blocks)
