@@ -37,6 +37,33 @@ object DedupProbe {
       .withColumn("sig", Dedup.minhashSignature(col("sh"), 32))
     time("minhash_sigs")(sigs.count())
     time("simhash")(docs.select(Dedup.simhash64(col("text")).as("h")).count())
+
+    // ---- hot-shingle skew demonstration: a ubiquitous suffix gives a few
+    // trigrams df = N, so the UNCAPPED posting self-join goes quadratic in
+    // N; the document-frequency cap bounds the candidate set while the
+    // verify stage (exact jaccard on re-attached sets) keeps results exact
+    // for every pair that still shares a sub-cap shingle.
+    val hot = docs.withColumn("text",
+      concat(col("text"), lit(" zzqa zzqb zzqc zzqd")))
+    def candCount(maxDf: Option[Int]): Long = {
+      val hsets = hot.select(col("doc_id").as("id"),
+          array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
+        .where(size(col("sh")) > 0)
+      val hinv0 = hsets.select(col("id"), explode(col("sh")).as("g"))
+      val hinv = maxDf match {
+        case Some(cap) =>
+          val df = hinv0.groupBy("g").agg(count(lit(1)).as("df"))
+          hinv0.join(df.where(col("df") <= cap).select("g"), Seq("g"))
+        case None => hinv0
+      }
+      hinv.join(hinv.select(col("g"), col("id").as("id_b")), Seq("g"))
+        .where(col("id") < col("id_b"))
+        .select("id", "id_b").dropDuplicates("id", "id_b").count()
+    }
+    time("hot_cand_nocap")(candCount(None))
+    time("hot_cand_df100")(candCount(Some(100)))
+    time("hot_full_df100")(
+      Dedup.ngramJaccardPairs(hot, "doc_id", "text", 3, 0.12, maxDf = Some(100)).count())
     s.stop()
   }
 }

@@ -7,6 +7,7 @@ import graft.index.CellGrid
 import graft.ml.RandomForest
 import graft.indicators.{GridIndicators, Svf}
 import graft.operators.{SpatialUnits, Tiling}
+import graft.sources.OsmFormatting
 
 /**
  * Fourth query batch (round 2): the TSU preparation front-half, UTRF
@@ -226,6 +227,69 @@ object Queries4 {
         .orderBy("doc_id")
     }),
 
+    // -- OSM height-tag parsing + height/level consistency rules
+    //    (InputDataFormatting.groovy:904-993 + WorkflowGeoIndicators.groovy:
+    //    2353-2398); the oracle switches on the synthetic tag shapes, so it
+    //    checks the regex pipeline against analytic expectations. ---------
+    "osm_format_heights" -> ((s, dir) => {
+      val d = col("doc_id")
+      val v = (d % 20 + 1).cast("string")
+      val raw = s.read.parquet(s"$dir/documents.parquet").select(
+        d.as("id_build"),
+        when(d % 8 === 0, lit(null).cast("string"))
+          .when(d % 8 === 1, v)
+          .when(d % 8 === 2, concat(v, lit(".5 m")))
+          .when(d % 8 === 3, concat(v, lit("'")))
+          .when(d % 8 === 4, concat(v, lit("''")))
+          .when(d % 8 === 5, concat(v, lit("'"), (d % 12).cast("string"), lit("''")))
+          .when(d % 8 === 6, concat(v, lit(" foot")))
+          .otherwise(lit("n/a")).as("height"),
+        when(d % 3 === 0, "2.5").otherwise(lit(null).cast("string")).as("roof_height"),
+        when(d % 4 === 0, (d % 5 + 1).cast("string")).otherwise(lit(null).cast("string")).as("b_lev"),
+        when(d % 6 === 0, "1").otherwise(lit(null).cast("string")).as("r_lev"),
+        element_at(lit(Array("residential", "house", "commercial", "industrial")),
+          (d % 4).cast("int") + 1).as("type"))
+      val hr = OsmFormatting.heightRoof(col("height"))
+      val hw = OsmFormatting.heightWall(hr, col("roof_height"))
+      val nl = OsmFormatting.nbLevels(col("b_lev"), col("r_lev"))
+      val fh = OsmFormatting.formatHeights(hw, hr, nl, 3.0, col("type"),
+        Map("residential" -> 1, "house" -> 1, "commercial" -> 2))
+      raw.select(col("id_build"), fh.as("__f"))
+        .select(col("id_build"),
+          round(col("__f.height_wall"), 6).as("height_wall"),
+          round(col("__f.height_roof"), 6).as("height_roof"),
+          col("__f.nb_lev").as("nb_lev"), col("__f.estimated").as("estimated"))
+        .orderBy("id_build")
+    }),
+
+    // -- TARGET-schema grid export (GridIndicators.groovy:382-448) --------
+    "grid_target" -> ((s, dir) => {
+      val g = col("id_grid")
+      val gi = Tiling.makeGrid(s, 0, 0, 50, 40, 10, 10).select(
+        col("the_geom"), col("id_col"), col("id_row"),
+        ((g % 10).cast("double") / 20).as("building_fraction"),
+        ((g % 5).cast("double") / 50).as("high_vegetation_building_fraction"),
+        ((g % 7).cast("double") / 30).as("high_vegetation_fraction"),
+        ((g % 3).cast("double") / 60).as("high_vegetation_road_fraction"),
+        ((g % 4).cast("double") / 80).as("high_vegetation_water_permanent_fraction"),
+        ((g % 6).cast("double") / 40).as("road_fraction"),
+        ((g % 5).cast("double") / 100).as("water_permanent_fraction"),
+        ((g % 8).cast("double") / 80).as("impervious_fraction"),
+        ((g % 2).cast("double") / 50).as("rail_fraction"),
+        ((g % 9).cast("double") / 90).as("undefined_fraction"),
+        ((g % 11).cast("double") / 110).as("low_vegetation_fraction"),
+        ((g % 15).cast("double") + 2).as("avg_height_roof_area_weighted"),
+        ((g % 9).cast("double") + 3).as("street_width"))
+      GridIndicators.formatGrid4Target(gi,
+          Map("high_vegetation" -> Seq("building", "road", "water_permanent")))
+        .select(col("fid"), col("id_col"), col("id_row"),
+          round(col("roof"), 9).as("roof"), round(col("road"), 9).as("road"),
+          round(col("watr"), 9).as("watr"), round(col("conc"), 9).as("conc"),
+          round(col("veg"), 9).as("veg"), round(col("dry"), 9).as("dry"),
+          col("irr"), round(col("h"), 9).as("h"), round(col("w"), 9).as("w"))
+        .orderBy("fid")
+    }),
+
     // -- grid population disaggregation (GridIndicators.groovy:45-109) ----
     "grid_population" -> ((s, dir) => {
       val cells = Tiling.makeGrid(s, 0, 0, 100, 100, 10, 10)
@@ -417,6 +481,74 @@ object Queries4 {
         |SELECT doc_id, round(easting, 3) AS easting, round(northing, 3) AS northing
         |FROM utm ORDER BY doc_id""".stripMargin
     },
+
+    // Analytic expectations per synthetic tag shape (v = d%20+1):
+    // d%8: 0 null->0; 1 bare v; 2 "v.5 m"->v+0.5; 3 v feet; 4 v inches;
+    // 5 v'i''->(v*12+i)*0.0254; 6 v foot->v*0.3048; 7 no digits->0.
+    "osm_format_heights" ->
+      """WITH raw AS (SELECT doc_id AS id_build, doc_id % 8 AS m8,
+        |    CAST(doc_id % 20 + 1 AS DOUBLE) AS v, CAST(doc_id % 12 AS DOUBLE) AS inch,
+        |    (doc_id % 3 = 0) AS has_rh,
+        |    CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id % 5 + 1 AS INT)
+        |         ELSE NULL END AS blev,
+        |    (doc_id % 6 = 0) AS has_rlev,
+        |    ['residential','house','commercial','industrial'][CAST(doc_id % 4 AS INT) + 1] AS type
+        |  FROM documents),
+        |hr AS (SELECT *, CASE m8 WHEN 0 THEN 0.0 WHEN 1 THEN v WHEN 2 THEN v + 0.5
+        |    WHEN 3 THEN v * 12 * 0.0254 WHEN 4 THEN v * 0.0254
+        |    WHEN 5 THEN (v * 12 + inch) * 0.0254
+        |    WHEN 6 THEN v * 0.3048 ELSE 0.0 END AS hroof FROM raw),
+        |hw AS (SELECT *, CASE WHEN has_rh THEN
+        |      (CASE WHEN 2.5 < hroof THEN hroof - 2.5 ELSE 0.0 END)
+        |    ELSE hroof END AS hwall,
+        |    CAST(coalesce(blev + (CASE WHEN has_rlev THEN 1 ELSE 0 END), 0) AS INT) AS nl
+        |  FROM hr),
+        |fh AS (SELECT id_build,
+        |    CASE WHEN type = 'residential' OR type = 'house' THEN 1
+        |         WHEN type = 'commercial' THEN 2 ELSE 1 END AS nld, * FROM hw),
+        |o AS (SELECT id_build,
+        |  CASE WHEN hwall <> 0 AND hroof <> 0 AND nl <> 0 THEN hwall
+        |    WHEN hwall = 0 AND hroof = 0 AND nl = 0 THEN nld * 3.0
+        |    WHEN hwall = 0 AND hroof = 0 THEN nl * 3.0
+        |    WHEN hwall = 0 THEN hroof
+        |    ELSE hwall END AS height_wall,
+        |  CASE WHEN hwall <> 0 AND hroof <> 0 AND nl <> 0 THEN hroof
+        |    WHEN hwall = 0 AND hroof = 0 AND nl = 0 THEN nld * 3.0
+        |    WHEN hwall = 0 AND hroof = 0 THEN nl * 3.0
+        |    WHEN hwall = 0 THEN hroof
+        |    WHEN hwall > hroof THEN hwall
+        |    ELSE hroof END AS height_roof,
+        |  CAST(CASE WHEN hwall <> 0 AND hroof <> 0 AND nl <> 0 THEN nl
+        |    WHEN hwall = 0 AND hroof = 0 AND nl = 0 THEN nld
+        |    WHEN hwall = 0 AND hroof = 0 THEN nl
+        |    WHEN hwall = 0 THEN (CASE WHEN nl = 0 THEN greatest(floor(hroof / 3.0), 1) ELSE nl END)
+        |    WHEN hwall = hroof THEN (CASE WHEN nl = 0 THEN greatest(floor(hwall / 3.0), 1) ELSE nl END)
+        |    WHEN hwall > hroof THEN (CASE WHEN nl = 0 THEN greatest(floor(hwall / 3.0), 1) ELSE nl END)
+        |    ELSE (CASE WHEN nl = 0 THEN greatest(floor(hroof / 3.0), 1) ELSE nl END) END AS INT) AS nb_lev,
+        |  (hwall = 0 AND hroof = 0 AND nl = 0) AS estimated
+        |  FROM fh)
+        |SELECT id_build, round(height_wall, 6) AS height_wall,
+        |  round(height_roof, 6) AS height_roof, nb_lev, estimated
+        |FROM o ORDER BY id_build""".stripMargin,
+
+    "grid_target" ->
+      """WITH cells AS (SELECT CAST(range AS BIGINT) AS g,
+        |    CAST(range % 5 + 1 AS INT) AS id_col, CAST(range // 5 + 1 AS INT) AS id_row
+        |  FROM range(0, 20)),
+        |f AS (SELECT *, CAST(g % 10 AS DOUBLE)/20 AS bf, CAST(g % 5 AS DOUBLE)/50 AS hvb,
+        |    CAST(g % 7 AS DOUBLE)/30 AS hv, CAST(g % 3 AS DOUBLE)/60 AS hvr,
+        |    CAST(g % 4 AS DOUBLE)/80 AS hvw, CAST(g % 6 AS DOUBLE)/40 AS rf,
+        |    CAST(g % 5 AS DOUBLE)/100 AS wp, CAST(g % 8 AS DOUBLE)/80 AS imp,
+        |    CAST(g % 2 AS DOUBLE)/50 AS rl, CAST(g % 9 AS DOUBLE)/90 AS und,
+        |    CAST(g % 11 AS DOUBLE)/110 AS lv, CAST(g % 15 AS DOUBLE) + 2 AS hh,
+        |    CAST(g % 9 AS DOUBLE) + 3 AS sw
+        |  FROM cells)
+        |SELECT CAST(row_number() OVER (ORDER BY id_row DESC, id_col) AS INT) AS fid,
+        |  id_col, id_row,
+        |  round(bf + hvb, 9) AS roof, round(rf, 9) AS road, round(wp, 9) AS watr,
+        |  round(imp + rl + und, 9) AS conc, round(hv + hvr + hvw, 9) AS veg,
+        |  round(lv, 9) AS dry, 0.0 AS irr, round(hh, 9) AS h, round(sw, 9) AS w
+        |FROM f ORDER BY fid""".stripMargin,
 
     "grid_population" ->
       """WITH cells AS (SELECT CAST(range AS BIGINT) AS id_grid,

@@ -114,6 +114,43 @@ object GridIndicators {
   }
 
   /**
+   * TARGET-schema grid export (GridIndicators.groovy:382-448): recombines
+   * the grid fraction columns into the TARGET landcover bands — roof =
+   * building fraction (+ high-veg-over-building superposition), Veg = high
+   * vegetation (+ its other superpositions), conc = impervious + rail +
+   * undefined, plus road/watr/dry/irr and the H/W morphometrics. FID is a
+   * dense serial over (ID_ROW DESC, ID_COL ASC) — the reference orders by
+   * ID_ROW DESC only (insertion-ordered ties); the extra ID_COL key makes
+   * ids deterministic. A bounded raster export, like writeAsc — the global
+   * window is over one zone's grid, not data-scale.
+   */
+  def formatGrid4Target(gridIndicators: DataFrame,
+                        superpositions: Map[String, Seq[String]]): DataFrame = {
+    val highVeg = superpositions.getOrElse("high_vegetation", Seq.empty)
+    val roofCol = highVeg.filter(_ == "building")
+      .foldLeft(col("building_fraction")) { (acc, s) =>
+        acc + col(s"high_vegetation_${s}_fraction")
+      }
+    val vegCol = highVeg.filter(v => v != "building")
+      .foldLeft(col("high_vegetation_fraction")) { (acc, s) =>
+        acc + col(s"high_vegetation_${s}_fraction")
+      }
+    gridIndicators
+      .withColumn("fid", row_number().over(
+        Window.orderBy(desc("id_row"), col("id_col"))))
+      .select(col("the_geom"), col("id_col"), col("id_row"), col("fid"),
+        roofCol.as("roof"),
+        col("road_fraction").as("road"),
+        col("water_permanent_fraction").as("watr"),
+        (col("impervious_fraction") + col("rail_fraction") + col("undefined_fraction")).as("conc"),
+        vegCol.as("veg"),
+        col("low_vegetation_fraction").as("dry"),
+        lit(0.0).as("irr"),
+        col("avg_height_roof_area_weighted").as("h"),
+        col("street_width").as("w"))
+  }
+
+  /**
    * Sliding-window count: per cell, how many cells within Chebyshev distance
    * `size` (the (2·size+1)² window, self included) satisfy `pred`. The
    * reference's `id_row BETWEEN a.id_row±size` range self-join

@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * OSM raw-tag formatting — the height/level parsing of the reference's
+ * InputDataFormatting (osm/InputDataFormatting.groovy:76, 904-993) and the
+ * height-consistency rules of WorkflowGeoIndicators.groovy:2353-2398,
+ * re-expressed as pure Catalyst column logic (the reference is a per-row
+ * Groovy loop with JDBC batch inserts — here one codegen'd projection).
+ *
+ * Numeric parsing follows Groovy `isFloat/parseFloat` via try_cast: a tag
+ * that fails to parse behaves as absent. Values compute in double (the
+ * reference's float32 storage is a schema detail, not semantics).
+ */
+object OsmFormatting {
+
+  /** The reference's height regex (InputDataFormatting.groovy:76), verbatim:
+    * value + optional unit tokens (m, foot, ', ''). */
+  val HeightPattern: String =
+    "((?:\\d+\\/|(?:\\d+|^|\\s)\\.)?\\d+)\\s*([^\\s\\d+\\-.,:;^\\/]+(?:\\^\\d+(?:$|(?=[\\s:;\\/])))?(?:\\/[^\\s\\d+\\-.,:;^\\/]+(?:\\^\\d+(?:$|(?=[\\s:;\\/])))?)*)?"
+
+  private def nn(c: Column): Column = when(c === "", lit(null)).otherwise(c)
+
+  /**
+   * getHeightRoof (InputDataFormatting.groovy:921-961): parse an OSM height
+   * string to metres. One match: bare number or unit in {m, foot, ', ''};
+   * two matches: feet'inches'' (×12, +inches, ×0.0254); otherwise 0.
+   */
+  def heightRoof(height: Column): Column = {
+    val nums = regexp_extract_all(height, lit(HeightPattern), lit(1))
+    val units = regexp_extract_all(height, lit(HeightPattern), lit(2))
+    val n1 = element_at(nums, 1).try_cast("double")
+    val u1 = lower(nn(element_at(units, 1)))
+    val n2 = element_at(nums, 2).try_cast("double")
+    val u2 = nn(element_at(units, 2))
+    val twoMatches =
+      (coalesce(when(n1.isNotNull, n1 * 12), lit(0.0))
+        + coalesce(when(u2 === "''", n2), lit(0.0))) * 0.0254
+    val oneMatch =
+      when(u1.isNull, n1)
+        .when(u1 === "m", n1)
+        .when(u1 === "foot", n1 * 0.3048)
+        .when(u1 === "'", n1 * 12 * 0.0254)
+        .when(u1 === "''", n1 * 0.0254)
+        .otherwise(lit(0.0))
+    when(height.isNull || height === "" || size(nums) === 0, lit(0.0))
+      .when(size(nums) >= 2, twoMatches)
+      .otherwise(oneMatch)
+  }
+
+  /** getHeightWall (InputDataFormatting.groovy:904-914): roof height minus a
+    * parseable roof:height when smaller, else 0; roof height when the tag is
+    * absent/unparseable. */
+  def heightWall(heightRoof: Column, roofHeightTag: Column): Column = {
+    val rh = roofHeightTag.try_cast("double")
+    when(rh.isNotNull, when(rh < heightRoof, heightRoof - rh).otherwise(lit(0.0)))
+      .otherwise(heightRoof)
+  }
+
+  /** getNbLevels (InputDataFormatting.groovy:983-993). */
+  def nbLevels(bLev: Column, rLev: Column): Column = {
+    val b = bLev.try_cast("double")
+    val r = rLev.try_cast("double")
+    when(b.isNotNull, when(r.isNotNull, b + r).otherwise(b)).otherwise(lit(0.0)).cast("int")
+  }
+
+  /**
+   * formatHeightsAndNbLevels (WorkflowGeoIndicators.groovy:2353-2398):
+   * fills/repairs (wall, roof, levels) with h_lev_min and the per-type
+   * default level map; returns struct(height_wall, height_roof, nb_lev,
+   * estimated).
+   */
+  def formatHeights(hw0: Column, hr0: Column, nl0: Column, hLevMin: Double,
+                    buildingType: Column, levelMap: Map[String, Int]): Column = {
+    val typeLevels = levelMap.foldLeft(lit(null).cast("int")) { case (acc, (t, l)) =>
+      when(buildingType === t, l).otherwise(acc)
+    }
+    def res(hw: Column, hr: Column, nl: Column, est: Column) =
+      struct(hw.as("height_wall"), hr.as("height_roof"),
+        nl.cast("int").as("nb_lev"), est.as("estimated"))
+    val floorLevels = (h: Column) => greatest(floor(h / hLevMin), lit(1.0))
+    val nlDefault = coalesce(typeLevels, lit(1))
+    when(hw0 =!= 0 && hr0 =!= 0 && nl0 =!= 0, res(hw0, hr0, nl0, lit(false)))
+      .when(hw0 === 0 && (hr0.isNull || hr0 === 0) && nl0 === 0,
+        res(nlDefault * hLevMin, nlDefault * hLevMin, nlDefault, lit(true)))
+      .when(hw0 === 0 && (hr0.isNull || hr0 === 0),
+        res(nl0 * hLevMin, nl0 * hLevMin, nl0, lit(false)))
+      .when(hw0 === 0,
+        res(hr0, hr0, when(nl0 === 0, floorLevels(hr0)).otherwise(nl0), lit(false)))
+      .when(hw0 === hr0,
+        res(hw0, hr0, when(nl0 === 0, floorLevels(hw0)).otherwise(nl0), lit(false)))
+      .when(hw0 > hr0,
+        res(hw0, hw0, when(nl0 === 0, floorLevels(hw0)).otherwise(nl0), lit(false)))
+      .otherwise(
+        res(hw0, hr0, when(nl0 === 0, floorLevels(hr0)).otherwise(nl0), lit(false)))
+  }
+}
