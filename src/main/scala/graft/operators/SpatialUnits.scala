@@ -263,9 +263,21 @@ object SpatialUnits {
       .withColumn("the_geom", shrinkGrowUdf(col("__face")))
       .withColumn("__cx", G.stX(G.stCentroid(col("__face"))))
       .withColumn("__cy", G.stY(G.stCentroid(col("__face"))))
-    faces
-      .withColumn("id_rsu", row_number().over(
-        Window.orderBy(col(zoneId), col("__cx"), col("__cy"))))
-      .select(col("id_rsu"), col(zoneId), col("the_geom"))
+      .localCheckpoint() // ranks + zone offsets both read it
+    // Dense global ids ordered by (zone, centroid) WITHOUT a global window
+    // (faces ~ RSU count at city scale ×100 would funnel one partition):
+    // per-zone ranks run partitioned; the per-zone offsets are one tiny
+    // aggregate over #zones rows. Identical ids to the single-window form.
+    val ranked = faces.withColumn("__rk", row_number().over(
+      Window.partitionBy(col(zoneId)).orderBy(col("__cx"), col("__cy"))))
+    val offsets = faces.groupBy(col(zoneId)).agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col(zoneId)).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L))) // #zones rows only — not a data-scale window
+      .select(col(zoneId), col("__off"))
+    ranked.join(offsets, Seq(zoneId))
+      .select((col("__off") + col("__rk")).cast("int").as("id_rsu"),
+        col(zoneId), col("the_geom"))
   }
 }
