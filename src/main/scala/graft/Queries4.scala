@@ -290,6 +290,50 @@ object Queries4 {
         .orderBy("fid")
     }),
 
+    // -- sea/land tessellation + zonal fractions (WorkflowGeoIndicators.
+    //    groovy:2100-2127): big polygons split to triangles BEFORE the
+    //    zonal overlay so per-pair work stays bounded; the fractions must be
+    //    invariant under tessellation — the oracle computes them from the
+    //    UNSPLIT rects (round 6: triangle clip areas re-sum within 1e-12).
+    "geo_tesselate_fractions" -> ((s, dir) => {
+      val d = col("doc_id")
+      val zones = Tiling.makeGrid(s, 0, 0, 150, 150, 50, 50)
+        .select(col("id_grid").as("id_zone"), col("the_geom"))
+      val masks = s.read.parquet(s"$dir/documents.parquet").where(d < 40).select(
+        G.stMakeBox((d * 11 % 120).cast("double"), (d * 23 % 120).cast("double"),
+          (d * 11 % 120).cast("double") + (d % 30) + 10,
+          (d * 23 % 120).cast("double") + (d * 3 % 30) + 10).as("the_geom"),
+        when(d % 3 === 0, "sea").otherwise("land").as("cls"))
+      val tris = masks.select(
+        explode(G.stExplode(G.stTesselate(col("the_geom")))).as("vgeom"), col("cls"))
+      Tiling.zonalAreaStats(zones, "id_zone", "the_geom", tris, "vgeom", "cls",
+          Seq("land", "sea"), grid, Res)
+        .select(col("id_zone"),
+          round(col("area_fraction_land"), 6).as("area_fraction_land"),
+          round(col("area_fraction_sea"), 6).as("area_fraction_sea"))
+        .orderBy("id_zone")
+    }),
+
+    // -- zone-stats writeback (WorkflowGeoIndicators.groovy:1670-1712):
+    //    run reporting appended to the zone table; wall-clock/timestamps are
+    //    parameters so the transform stays deterministic. ------------------
+    "zone_stats" -> ((s, dir) => {
+      val d = col("doc_id")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val zone = s.range(1).select(lit(1).as("id_zone"),
+        G.stMakeBox(lit(0.0), lit(0.0), lit(100.0), lit(100.0)).as("the_geom"))
+      val bld = docs.select(d.as("id_build"),
+        when(d % 7 === 0, lit(null).cast("long")).otherwise(d % 50).as("id_rsu"))
+      val blk = docs.where(d % 10 === 0).select(d.as("id_block"))
+      val rsu = docs.where(d < 50).select(d.as("id_rsu"))
+      lake.ZoneStats.computeZoneStats(zone, Some(bld), Some(blk), Some(rsu),
+          nbEstimatedBuilding = 42L, computationTimeSec = 7L,
+          lastUpdate = "2026-01-01 00:00:00", version = "0.2", buildNumber = "r2")
+        .select(col("id_zone"), col("nb_building"), col("nb_estimated_building"),
+          col("nb_block"), col("nb_rsu"), col("computation_time"),
+          col("last_update"), col("version"), col("build_number"))
+    }),
+
     // -- grid population disaggregation (GridIndicators.groovy:45-109) ----
     "grid_population" -> ((s, dir) => {
       val cells = Tiling.makeGrid(s, 0, 0, 100, 100, 10, 10)
@@ -549,6 +593,35 @@ object Queries4 {
         |  round(imp + rl + und, 9) AS conc, round(hv + hvr + hvw, 9) AS veg,
         |  round(lv, 9) AS dry, 0.0 AS irr, round(hh, 9) AS h, round(sw, 9) AS w
         |FROM f ORDER BY fid""".stripMargin,
+
+    "geo_tesselate_fractions" ->
+      """WITH z AS (SELECT CAST(range AS BIGINT) AS id_zone,
+        |    CAST(range % 3 AS DOUBLE) * 50 AS zx, CAST(range // 3 AS DOUBLE) * 50 AS zy
+        |  FROM range(0, 9)),
+        |m AS (SELECT CAST(doc_id * 11 % 120 AS DOUBLE) AS x, CAST(doc_id * 23 % 120 AS DOUBLE) AS y,
+        |    CAST(doc_id % 30 AS DOUBLE) + 10 AS w, CAST(doc_id * 3 % 30 AS DOUBLE) + 10 AS h,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'sea' ELSE 'land' END AS cls
+        |  FROM documents WHERE doc_id < 40),
+        |ov AS (SELECT z.id_zone,
+        |    sum(CASE WHEN cls = 'land' THEN
+        |        greatest(0.0, least(m.x + m.w, z.zx + 50) - greatest(m.x, z.zx))
+        |      * greatest(0.0, least(m.y + m.h, z.zy + 50) - greatest(m.y, z.zy)) ELSE 0.0 END) AS a_land,
+        |    sum(CASE WHEN cls = 'sea' THEN
+        |        greatest(0.0, least(m.x + m.w, z.zx + 50) - greatest(m.x, z.zx))
+        |      * greatest(0.0, least(m.y + m.h, z.zy + 50) - greatest(m.y, z.zy)) ELSE 0.0 END) AS a_sea
+        |  FROM z CROSS JOIN m GROUP BY 1)
+        |SELECT z.id_zone, round(coalesce(ov.a_land, 0.0) / 2500.0, 6) AS area_fraction_land,
+        |  round(coalesce(ov.a_sea, 0.0) / 2500.0, 6) AS area_fraction_sea
+        |FROM z LEFT JOIN ov ON z.id_zone = ov.id_zone ORDER BY z.id_zone""".stripMargin,
+
+    "zone_stats" ->
+      """SELECT 1 AS id_zone,
+        |  CAST((SELECT count(*) FROM documents WHERE doc_id % 7 <> 0) AS INT) AS nb_building,
+        |  CAST(42 AS INT) AS nb_estimated_building,
+        |  CAST((SELECT count(*) FROM documents WHERE doc_id % 10 = 0) AS INT) AS nb_block,
+        |  CAST((SELECT count(*) FROM documents WHERE doc_id < 50) AS INT) AS nb_rsu,
+        |  CAST(7 AS INT) AS computation_time,
+        |  '2026-01-01 00:00:00' AS last_update, '0.2' AS version, 'r2' AS build_number""".stripMargin,
 
     "grid_population" ->
       """WITH cells AS (SELECT CAST(range AS BIGINT) AS id_grid,

@@ -58,6 +58,13 @@ object GeoFunctions {
   val stNormalize = udf { (b: Array[Byte]) =>
     val g = Geo.fromWkb(b); g.normalize(); Geo.toWkb(g)
   }
+  /** ST_TESSELATE: constrained triangulation of a polygonal geometry
+    * (WorkflowGeoIndicators.groovy:2113 splits big sea/land polygons into
+    * triangles so per-pair overlay work stays bounded). */
+  val stTesselate = udf { (b: Array[Byte]) =>
+    Geo.toWkb(org.locationtech.jts.triangulate.polygon.PolygonTriangulator
+      .triangulate(Geo.fromWkb(b)))
+  }
   /** Sprawl closing buffer: quad 2, flat, mitre limit 2 (SpatialUnits.groovy:659-661). */
   val stBufferClosing = udf((b: Array[Byte], d: Double) => Geo.toWkb(Geo.bufferClosing(Geo.fromWkb(b), d)))
   // envelope bounds (ST_EXTENT building blocks)
