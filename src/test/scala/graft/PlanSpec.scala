@@ -57,4 +57,17 @@ class PlanSpec extends SparkTestBase {
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), q)
     }
   }
+
+  test("ann_cosine_topk: no cartesian of the data side (partial-heap pass)") {
+    val p = plan("ann_cosine_topk")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the big side goes through ONE object pipe (mapPartitions heaps), not a
+    // materialized N x Q join
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"))
+  }
+
+  test("blocks_cc: no single-partition exchange (stable component labels as ids)") {
+    val p = plan("blocks_cc")
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+  }
 }
