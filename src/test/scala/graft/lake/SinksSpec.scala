@@ -1,0 +1,34 @@
+package graft.lake
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.geom.Geo
+
+/** GeoJSON FeatureCollection sink: structure parses back, geometry types and
+  * coordinates round-trip, properties preserved. */
+class SinksSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("writeGeoJson round-trips geometry + properties") {
+    val rows = Seq(
+      (1, "a", Geo.toWkb(Geo.box(0, 0, 10, 5))),
+      (2, "b\"q", Geo.toWkb(Geo.point(2.5, 7.5))),
+      (3, null, Geo.toWkb(Geo.fromWkt("LINESTRING(0 0, 3 4)"))))
+      .toDF("id", "name", "the_geom").orderBy("id")
+    val path = Files.createTempDirectory("gj").resolve("out.geojson").toString
+    Sinks.writeGeoJson(rows, "the_geom", path)
+    val txt = new String(Files.readAllBytes(java.nio.file.Paths.get(path)))
+    // parse with the JVM's own JSON-ish checks via spark
+    val parsed = spark.read.json(Seq(txt).toDS())
+    assert(parsed.select("type").head().getString(0) == "FeatureCollection")
+    val feats = parsed.select(explode(col("features")).as("f"))
+      .select(col("f.geometry.type").as("gt"), col("f.properties.id").as("id"),
+        col("f.properties.name").as("name"))
+      .orderBy("id").collect()
+    assert(feats.map(_.getString(0)).toSeq == Seq("Polygon", "Point", "LineString"))
+    assert(feats.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(feats(1).getString(2) == "b\"q" && feats(2).isNullAt(2))
+    assert(txt.contains("[2.5,7.5]")) // point coordinates verbatim
+  }
+}
