@@ -38,4 +38,40 @@ object StreamOps {
   def streamingDedup(pages: DataFrame, keyCol: String, tsCol: String,
                      watermark: String): DataFrame =
     pages.withWatermark(tsCol, watermark).dropDuplicates(Seq(keyCol, tsCol))
+
+  /**
+   * Custom-state sessionization via `flatMapGroupsWithState`: per user, a
+   * new session starts when the gap to the previous event exceeds `gapSec`.
+   * State (session count, event count, last timestamp) survives across
+   * micro-batches, so a session spanning two batches is NOT double-counted —
+   * the thing the stateless lag-window formulation cannot do incrementally.
+   * Each update emits the user's running (n_sessions, n_events).
+   *
+   * Events inside one batch are sorted per group before folding; late rows
+   * arriving after a newer batch already advanced the state are counted in
+   * arrival order (standard at-watermark semantics — bound lateness with a
+   * watermark upstream). Works on batch Datasets too (single "batch" =
+   * global sort per group), which the equivalence spec exploits.
+   */
+  def sessionizeWithState(events: org.apache.spark.sql.Dataset[(Long, Long)],
+                          gapSec: Long): org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[(Long, Long)], state: GroupState[(Long, Long, Long)]) =>
+          val ts = it.map(_._2).toArray
+          java.util.Arrays.sort(ts)
+          var (nSessions, nEvents, lastTs) =
+            state.getOption.getOrElse((0L, 0L, Long.MinValue))
+          ts.foreach { t =>
+            if (lastTs == Long.MinValue || t - lastTs > gapSec) nSessions += 1
+            nEvents += 1
+            lastTs = t
+          }
+          state.update((nSessions, nEvents, lastTs))
+          Iterator((user, nSessions, nEvents))
+      }
+  }
 }
