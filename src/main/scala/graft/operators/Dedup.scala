@@ -180,27 +180,44 @@ object Dedup {
     val sets = docs.select(col(idCol).as("id"),
         array_distinct(shingles(col(textCol), k)).as("sh"))
       .where(size(col("sh")) > 0)
-      .localCheckpoint() // feeds postings AND both verify sides
-    // postings carry IDs only (no shingle arrays through the self-join)
-    val inv0 = sets.select(col("id"), explode(col("sh")).as("g"))
-    val inv = maxDf match {
+      .withColumn("sz", size(col("sh")))
+      .localCheckpoint() // one materialization feeds postings (+ verify)
+    maxDf match {
+      case None =>
+        // EXACT path: postings carry (id, sz) only; the intersection size is
+        // the co-occurrence count, so no pair-level shingle re-attach at all
+        val inv = sets.select(col("id"), col("sz"), explode(col("sh")).as("g"))
+        val rhs = inv.select(col("g"), col("id").as("id_b"), col("sz").as("sz_b"))
+        inv.join(rhs, Seq("g"))
+          .where(col("id") < col("id_b"))
+          .groupBy(col("id").as("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("inter"), first("sz").as("sz_a"), first("sz_b").as("sz_b2"))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("sz_a") + col("sz_b2") - col("inter")))
+          .where(col("jaccard") >= threshold)
+          .select("id_a", "id_b", "jaccard")
       case Some(cap) =>
+        // CAPPED path (skew bound): co-occurrence counts over capped postings
+        // UNDER-count, so candidates are id pairs only and the jaccard comes
+        // from an exact verify on re-attached sets. A pair whose entire
+        // intersection is capped shingles is missed — acceptable at web
+        // scale (ubiquitous shingles carry no pair information).
+        val inv0 = sets.select(col("id"), explode(col("sh")).as("g"))
         val df = inv0.groupBy("g").agg(count(lit(1)).as("__df"))
-        inv0.join(df.where(col("__df") <= cap).select("g"), Seq("g"))
-      case None => inv0
+        val inv = inv0.join(df.where(col("__df") <= cap).select("g"), Seq("g"))
+        val rhs = inv.select(col("g"), col("id").as("id_b"))
+        val candIds = inv.join(rhs, Seq("g"))
+          .where(col("id") < col("id_b"))
+          .select(col("id").as("id_a"), col("id_b"))
+          .dropDuplicates("id_a", "id_b")
+        candIds
+          .join(sets.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+          .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .withColumn("inter", size(array_intersect(col("sh"), col("sh_b"))))
+          .withColumn("jaccard", col("inter").cast("double")
+            / (size(col("sh")) + size(col("sh_b")) - col("inter")))
+          .where(col("jaccard") >= threshold)
+          .select("id_a", "id_b", "jaccard")
     }
-    val rhs = inv.select(col("g"), col("id").as("id_b"))
-    val candIds = inv.join(rhs, Seq("g"))
-      .where(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    candIds
-      .join(sets.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double")
-        / (size(col("sh")) + size(col("sh_b")) - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 }
