@@ -121,7 +121,8 @@ object Svf {
   def groundSkyViewFactor(rsu: DataFrame, building: DataFrame,
                           grid: CellGrid, res: Int,
                           pointDensity: Double = 0.008, rayLength: Double = 100.0,
-                          numberOfDirection: Int = 60): DataFrame = {
+                          numberOfDirection: Int = 60,
+                          broadcastBuildings: Boolean = true): DataFrame = {
     val dirs = directions(numberOfDirection)
 
     // 1. building-free ground per RSU (rsuDiff/rsuDiffTot)
@@ -174,8 +175,11 @@ object Svf {
         px - rayLength, px + rayLength, py - rayLength, py + rayLength), res)
     }
     val ptCells = points.withColumn(SpatialJoin.CellCol, explode(ptCellsUdf(col("px"), col("py"))))
-    val bCells = broadcast(b
-      .withColumn(SpatialJoin.CellCol, explode(SpatialJoin.coverUdf(grid, res)(col("__bgeom")))))
+    val bCells0 = b
+      .withColumn(SpatialJoin.CellCol, explode(SpatialJoin.coverUdf(grid, res)(col("__bgeom"))))
+    // broadcast when the wall layer is dimension-sized; shuffle equi-join
+    // on cell otherwise (continent-scale building layers)
+    val bCells = if (broadcastBuildings) broadcast(bCells0) else bCells0
     val cand = ptCells.join(bCells, SpatialJoin.CellCol)
       .where(G.stDWithin(col("__bgeom"), G.stPoint(col("px"), col("py")), lit(rayLength)))
       .dropDuplicates("id_rsu", "px", "py", "__bgeom", "height_wall")

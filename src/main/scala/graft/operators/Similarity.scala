@@ -149,9 +149,20 @@ object Similarity {
     // materialize the chunk table once (it feeds both sides of the block
     // self-join; without this the grouping shuffle runs twice)
     val chunkDf = chunks.toDF("ck", "vs").localCheckpoint()
-    val a = chunkDf.select(col("ck").as("ck_a"), col("vs").as("vs_a"))
-    val b = chunkDf.select(col("ck").as("ck_b"), col("vs").as("vs_b"))
-    a.join(b, col("ck_a") <= col("ck_b"))
+    // Enumerate the (ck_a <= ck_b) pairs EXPLICITLY and attach each side
+    // with an equi-join: a `<=` theta-join would force Spark to broadcast
+    // (or cartesian) the packed chunk table — i.e. ship the ENTIRE dataset
+    // to every task. Only the chunk-ID LIST reaches the driver (N/chunkSize
+    // values — bounded metadata, not data).
+    val ckIds = chunkDf.select(col("ck")).as[Long].collect().sorted
+    val pairs = spark.createDataset(
+      for { i <- ckIds.indices; j <- i until ckIds.length }
+        yield (ckIds(i), ckIds(j))
+    ).toDF("ck_a", "ck_b")
+    pairs
+      .join(chunkDf.select(col("ck").as("ck_a"), col("vs").as("vs_a")), Seq("ck_a"))
+      .join(chunkDf.select(col("ck").as("ck_b"), col("vs").as("vs_b")), Seq("ck_b"))
+      .select(col("ck_a"), col("vs_a"), col("ck_b"), col("vs_b"))
       .as[(Long, Array[(Long, Array[Float])], Long, Array[(Long, Array[Float])])]
       .flatMap { case (ckA, vsA, ckB, vsB) =>
         val same = ckA == ckB
