@@ -290,6 +290,19 @@ object Queries4 {
         .orderBy("fid")
     }),
 
+    // -- training-data curation flagship: exact dedup -> near-dup drop
+    //    (MinHash-LSH candidates + exact-jaccard verify, greedy keep-smaller
+    //    survivor) -> language/quality gate. The oracle composes the same
+    //    three stages from their already-verified SQL building blocks. ----
+    "text_curation" -> ((s, dir) => {
+      operators.Curation.curate(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          lang = "en", minQuality = 0.6)
+        .select(col("doc_id"), col("lang_id"),
+          round(col("quality"), 6).as("quality"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // -- sea/land tessellation + zonal fractions (WorkflowGeoIndicators.
     //    groovy:2100-2127): big polygons split to triangles BEFORE the
     //    zonal overlay so per-pair work stays bounded; the fractions must be
@@ -593,6 +606,50 @@ object Queries4 {
         |  round(imp + rl + und, 9) AS conc, round(hv + hvr + hvw, 9) AS veg,
         |  round(lv, 9) AS dry, 0.0 AS irr, round(hh, 9) AS h, round(sw, 9) AS w
         |FROM f ORDER BY fid""".stripMargin,
+
+    "text_curation" -> {
+      // language/quality SQL identical to the (verified) text_analysis
+      // oracle, applied to the post-dedup survivors
+      val langs = Seq("de", "en", "es", "fr", "it")
+      val hits = langs.map { l =>
+        val pat = graft.operators.TextAnalysis.Stopwords(l).mkString("\\b(", "|", ")\\b")
+        s"len(regexp_split_to_array(text, '$pat')) - 1 AS h_$l"
+      }.mkString(", ")
+      s"""WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |rd AS (SELECT d.doc_id, d.text FROM documents d JOIN reps USING (doc_id)),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM rd),
+        |idx AS (SELECT doc_id, w, unnest(range(0, len(w)-2)) AS g FROM toks WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[g+1:g+3], ' ') AS tri FROM idx),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.tri = b.tri AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |nd AS (SELECT DISTINCT id_b AS doc_id FROM pairs
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.4),
+        |kept AS (SELECT rd.doc_id, rd.text FROM rd
+        |  LEFT JOIN nd ON rd.doc_id = nd.doc_id WHERE nd.doc_id IS NULL),
+        |h AS (SELECT doc_id, text, $hits FROM kept),
+        |l AS (SELECT doc_id, text,
+        |  CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_it) <= 0 THEN 'und'
+        |    WHEN h_it >= h_fr AND h_it >= h_es AND h_it >= h_en AND h_it >= h_de THEN 'it'
+        |    WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+        |    WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+        |    WHEN h_en >= h_de THEN 'en' ELSE 'de' END AS lang_id
+        |  FROM h),
+        |m AS (SELECT doc_id, lang_id, text,
+        |    CAST(length(text) AS DOUBLE) AS ln,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS na
+        |  FROM l),
+        |q AS (SELECT doc_id, lang_id,
+        |    round(0.4*least(ln/1000.0, 1.0)
+        |        + 0.3*(1.0 - least(abs((ln - (ntok - 1))/ntok - 5.0)/5.0, 1.0))
+        |        + 0.3*(na/ln), 6) AS quality,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM m)
+        |SELECT doc_id, lang_id, quality, n_tokens FROM q
+        |WHERE lang_id = 'en' AND quality >= 0.6 ORDER BY doc_id""".stripMargin
+    },
 
     "geo_tesselate_fractions" ->
       """WITH z AS (SELECT CAST(range AS BIGINT) AS id_zone,
