@@ -204,12 +204,10 @@ object Queries2 {
   // ---- grid cells for the grid indicators ---------------------------------
   private val LczVals = Array(1, 2, 6, 8, 101, 104, 107)
 
-  /** The reference's LOD-mode tiebreak weights (GridIndicators.groovy:199-206
-    * `weight_lcz` CASE): urban LCZ keep their value, rural remap 105->11,
-    * 107->12, 106->13, 101->14, 102->15, 103/104->16. Smaller weight wins
-    * ties (ORDER BY count DESC, ..., weight_lcz). */
-  private val RefLczWeights: Map[Int, Int] =
-    Map(1 -> 1, 2 -> 2, 6 -> 6, 8 -> 8, 101 -> 14, 104 -> 16, 107 -> 12)
+  /** The reference's LOD-mode tiebreak weights (now shared:
+    * GridIndicators.ReferenceLczWeights — pinned by the reference's own
+    * multiscaleLCZGridTest goldens in MultiscaleLczGoldenSpec). */
+  private val RefLczWeights: Map[Int, Int] = GridIndicators.ReferenceLczWeights
   private val RefLczWeightSql =
     "CASE lcz WHEN 101 THEN 14 WHEN 104 THEN 16 WHEN 107 THEN 12 ELSE lcz END"
   private def gridCells(s: SparkSession, dir: String): DataFrame =

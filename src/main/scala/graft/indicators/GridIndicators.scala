@@ -19,6 +19,21 @@ import graft.operators.SpatialJoin
  */
 object GridIndicators {
 
+  /** The reference's LOD-mode tiebreak weights (GridIndicators.groovy:199-206
+    * `weight_lcz` CASE): urban LCZ 1-10 keep their value; rural remap
+    * 105->11, 107->12, 106->13, 101->14, 102->15, 103/104->16. SMALLER
+    * weight wins count ties (ORDER BY count DESC, ..., weight_lcz), so low
+    * urban classes beat rural — pinned by the reference's own
+    * multiscaleLCZGridTest golden (center block: 4x LCZ2 vs 4x LCZ104 ties
+    * to 2). */
+  val ReferenceLczWeights: Map[Int, Int] =
+    (1 to 10).map(v => v -> v).toMap ++
+      Map(105 -> 11, 107 -> 12, 106 -> 13, 101 -> 14, 102 -> 15, 103 -> 16, 104 -> 16)
+
+  /** Warm/cool LCZ class sets (GridIndicators.groovy:175-183, 231-236). */
+  val WarmLcz: Seq[Int] = (1 to 10) :+ 105
+  val CoolLcz: Seq[Int] = Seq(101, 102, 103, 104, 106, 107)
+
   /**
    * LOD-`level` aggregation: grid cells collapse 3^level × 3^level into one
    * LOD cell (lod_row = ⌊(id_row−1)/3^level⌋ — GridIndicators.groovy:210-214);
@@ -41,6 +56,19 @@ object GridIndicators {
       .orderBy(desc("cnt"), col("__w"), col(lczCol))
     counts.withColumn("__rn", row_number().over(win)).where(col("__rn") === 1)
       .select(col("lod_row"), col("lod_col"), col(lczCol).as("lcz_mode"), col("cnt"))
+  }
+
+  /** Warm/cool cell counts per LOD cell (the reference's LCZ_WARM_LOD_i /
+    * LCZ_COOL_LOD_i correlated subqueries, GridIndicators.groovy:231-236 —
+    * here one hash aggregate). */
+  def lodWarmCool(cells: DataFrame, lczCol: String, level: Int): DataFrame = {
+    val f = math.pow(3, level).toInt
+    cells
+      .withColumn("lod_row", floor((col("id_row") - 1) / f).cast("long"))
+      .withColumn("lod_col", floor((col("id_col") - 1) / f).cast("long"))
+      .groupBy("lod_row", "lod_col")
+      .agg(sum(when(col(lczCol).isin(WarmLcz: _*), 1).otherwise(0)).as("lcz_warm"),
+        sum(when(col(lczCol).isin(CoolLcz: _*), 1).otherwise(0)).as("lcz_cool"))
   }
 
   /**
