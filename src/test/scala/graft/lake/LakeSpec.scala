@@ -26,4 +26,24 @@ class LakeSpec extends SparkTestBase {
     Lake.stage(spark, root, "s1")(compute)
     assert(computeCount == 2)
   }
+
+  test("snapshots: recompute creates a new version; old snapshots time-travel") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("lake-tt").toString
+    var n = 100
+    def compute = spark.range(n).toDF("v")
+    Lake.stage(spark, root, "s")(compute)
+    assert(Lake.currentVersion(root, "s") == 1)
+    n = 250
+    Lake.invalidate(root, "s")
+    val v2 = Lake.stage(spark, root, "s")(compute)
+    assert(Lake.currentVersion(root, "s") == 2 && v2.count() == 250)
+    // time travel: snapshot 1 still readable with its original contents
+    assert(Lake.readSnapshot(spark, root, "s", 1).count() == 100)
+    assert(Lake.read(spark, root, "s").count() == 250)
+    val snaps = Lake.snapshots(root, "s")
+    assert(snaps.map(s => (s._1, s._2)) == Seq((1, 100L), (2, 250L)))
+    // lineage follows the current snapshot
+    assert(Lake.readLineage(spark, root, "s").agg(sum("rows")).head().getLong(0) == 250)
+  }
 }
