@@ -48,4 +48,25 @@ class CompactPipSpec extends SparkTestBase {
     assert(compactShuffle == brute)
     assert(brute.nonEmpty)
   }
+
+  test("world-border regression: clamped out-of-bounds points never match " +
+    "a polygon that covers the border cell") {
+    // polygon extends PAST the world edge, so it containsProperly world-
+    // border cells; an out-of-world point clamps into those cells and the
+    // interior fast path would emit it without refinement (round-1 ADVICE)
+    val edge = grid.minX + grid.worldSize // 16384
+    val poly = Seq((1, Geo.toWkb(Geo.box(edge - 100, edge - 100, edge + 5000, edge + 5000))))
+      .toDF("poly_id", "the_geom")
+    val pts = Seq(
+      (1L, edge - 50.0, edge - 50.0),   // genuinely inside
+      (2L, edge + 9000.0, edge + 9000.0), // outside polygon AND world -> clamps
+      (3L, edge - 200.0, edge - 200.0))  // in-world, outside polygon
+      .toDF("pid", "x", "y")
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid").as[Long].collect().toSet
+    // point 2 is outside the polygon (> edge+5000) but its clamped border
+    // cell IS containsProperly-covered — border cells must always refine
+    assert(got(SpatialJoin.pointInPolygon(pts, "x", "y", poly, "the_geom", grid, 10)) == Set(1L))
+    assert(got(SpatialJoin.pointInPolygonCompact(pts, "x", "y", poly, "the_geom", grid, 10)) == Set(1L))
+  }
 }
