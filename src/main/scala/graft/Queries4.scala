@@ -290,6 +290,19 @@ object Queries4 {
         .orderBy("fid")
     }),
 
+    // -- multi-size warm-window counts (GridIndicators.groovy:450-496):
+    //    per cell and window size, the count of OTHER cells in the window
+    //    and how many are warm LCZ. ---------------------------------------
+    "grid_warm_windows" -> ((s, dir) => {
+      val d = col("doc_id")
+      val cells = s.read.parquet(s"$dir/documents.parquet").select(
+        d.as("id_grid"), (d % 25 + 1).as("id_row"),
+        (floor(d / 25).cast("long") + 1).as("id_col"),
+        element_at(lit(Array(1, 2, 6, 8, 101, 104, 107)), (d % 7).cast("int") + 1).as("lcz"))
+      GridIndicators.gridCountCellsWarm(cells, "lcz", Seq(1, 2))
+        .orderBy("id_grid")
+    }),
+
     // -- training-data curation flagship: exact dedup -> near-dup drop
     //    (MinHash-LSH candidates + exact-jaccard verify, greedy keep-smaller
     //    survivor) -> language/quality gate. The oracle composes the same
@@ -606,6 +619,27 @@ object Queries4 {
         |  round(imp + rl + und, 9) AS conc, round(hv + hvr + hvw, 9) AS veg,
         |  round(lv, 9) AS dry, 0.0 AS irr, round(hh, 9) AS h, round(sw, 9) AS w
         |FROM f ORDER BY fid""".stripMargin,
+
+    "grid_warm_windows" ->
+      """WITH cells AS (SELECT doc_id AS id_grid, doc_id % 25 + 1 AS id_row,
+        |    doc_id // 25 + 1 AS id_col,
+        |    CAST([1,2,6,8,101,104,107][CAST(doc_id % 7 AS INT) + 1] AS INTEGER) AS lcz
+        |  FROM documents),
+        |w1 AS (SELECT a.id_grid, count(b.id_grid) AS count_cells_1,
+        |    CAST(sum(CASE WHEN b.lcz IN (1,2,3,4,5,6,7,8,9,10,105) THEN 1 ELSE 0 END) AS BIGINT) AS count_warm_1
+        |  FROM cells a JOIN cells b ON a.id_grid <> b.id_grid
+        |    AND b.id_row BETWEEN a.id_row - 1 AND a.id_row + 1
+        |    AND b.id_col BETWEEN a.id_col - 1 AND a.id_col + 1
+        |  GROUP BY 1),
+        |w2 AS (SELECT a.id_grid, count(b.id_grid) AS count_cells_2,
+        |    CAST(sum(CASE WHEN b.lcz IN (1,2,3,4,5,6,7,8,9,10,105) THEN 1 ELSE 0 END) AS BIGINT) AS count_warm_2
+        |  FROM cells a JOIN cells b ON a.id_grid <> b.id_grid
+        |    AND b.id_row BETWEEN a.id_row - 2 AND a.id_row + 2
+        |    AND b.id_col BETWEEN a.id_col - 2 AND a.id_col + 2
+        |  GROUP BY 1)
+        |SELECT w1.id_grid, w1.count_cells_1, w1.count_warm_1,
+        |  w2.count_cells_2, w2.count_warm_2
+        |FROM w1 JOIN w2 ON w1.id_grid = w2.id_grid ORDER BY w1.id_grid""".stripMargin,
 
     "text_curation" -> {
       // language/quality SQL identical to the (verified) text_analysis

@@ -179,6 +179,37 @@ object GridIndicators {
   }
 
   /**
+   * Multi-size warm-window counts (GridIndicators.groovy:450-496
+   * `gridCountCellsWarm`): for every cell and every window size, how many
+   * OTHER cells exist within Chebyshev distance `size` and how many of them
+   * are warm LCZ. The reference runs one range self-join per size; here each
+   * size is one influence-explode + hash aggregate (equi-join shaped), and
+   * the per-size results join on id_grid like the reference's joinTables.
+   */
+  def gridCountCellsWarm(cells: DataFrame, lczCol: String,
+                         windowSizes: Seq[Int]): DataFrame = {
+    require(windowSizes.nonEmpty && windowSizes.min >= 1 && windowSizes.max < 10,
+      "window sizes must be in [1, 10) cells") // reference bounds
+    val base = cells.select(col("id_grid"), col("id_row"), col("id_col"), col(lczCol))
+    val perSize = windowSizes.distinct.sorted.map { size =>
+      val offs = for { dr <- -size to size; dc <- -size to size if dr != 0 || dc != 0 }
+        yield (dr, dc)
+      val offArr = array(offs.map { case (dr, dc) =>
+        struct(lit(dr).as("dr"), lit(dc).as("dc")) }: _*)
+      val contrib = base
+        .select(col("id_row"), col("id_col"), col(lczCol), explode(offArr).as("o"))
+        .select((col("id_row") + col("o.dr")).as("id_row"),
+          (col("id_col") + col("o.dc")).as("id_col"), col(lczCol))
+      val agg = contrib.groupBy("id_row", "id_col")
+        .agg(count(lit(1)).as(s"count_cells_$size"),
+          sum(when(col(lczCol).isin(WarmLcz: _*), 1).otherwise(0)).as(s"count_warm_$size"))
+      base.select("id_grid", "id_row", "id_col").join(agg, Seq("id_row", "id_col"))
+        .select(col("id_grid"), col(s"count_cells_$size"), col(s"count_warm_$size"))
+    }
+    perSize.reduce(_.join(_, Seq("id_grid")))
+  }
+
+  /**
    * Sliding-window count: per cell, how many cells within Chebyshev distance
    * `size` (the (2·size+1)² window, self included) satisfy `pred`. The
    * reference's `id_row BETWEEN a.id_row±size` range self-join
