@@ -11,12 +11,16 @@ import graft.sources.OsmFormatting
 
 /**
  * Fourth query batch (round 2): the TSU preparation front-half, UTRF
- * random-forest apply, grid population, sprawl areas, and reprojection.
- * Synthetic layers are axis-aligned integer rectangles/lines placed in
- * DISJOINT x-bands of 1000 units per layer, so the oracle categorizes output
- * rows by centroid-x band and replicates every filter/cluster/threshold in
- * pure SQL (incl. the vegetation/water connected components via a recursive
- * CTE) — see "Oracle-exactness rules", Queries.scala.
+ * random-forest apply (+height regression), grid population, the sprawl
+ * areas/distances chain, EXACT ray-cast SVF, WGS84→UTM reprojection, OSM
+ * height parsing, TARGET grid export, zone-stats writeback, sea/land
+ * tessellation fractions, multi-size warm windows, and the text-curation
+ * flagship. Synthetic prepareTSUData layers are axis-aligned integer
+ * rectangles/lines placed in DISJOINT x-bands of 1000 units per layer, so
+ * the oracle categorizes output rows by centroid-x band and replicates
+ * every filter/cluster/threshold in pure SQL (incl. the vegetation/water
+ * connected components via a recursive CTE) — see "Oracle-exactness rules",
+ * Queries.scala.
  */
 object Queries4 {
 
