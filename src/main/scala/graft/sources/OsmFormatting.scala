@@ -45,9 +45,15 @@ object OsmFormatting {
         .when(u1 === "'", n1 * 12 * 0.0254)
         .when(u1 === "''", n1 * 0.0254)
         .otherwise(lit(0.0))
-    when(height.isNull || height === "" || size(nums) === 0, lit(0.0))
-      .when(size(nums) >= 2, twoMatches)
-      .otherwise(oneMatch)
+    // coalesce: a numeric group the double parser rejects (e.g. the "1/2"
+    // fraction form the regex admits) degrades to 0 instead of NULL — the
+    // reference would throw NumberFormatException here; degrading is the
+    // deliberate robust divergence
+    coalesce(
+      when(height.isNull || height === "" || size(nums) === 0, lit(0.0))
+        .when(size(nums) >= 2, twoMatches)
+        .otherwise(oneMatch),
+      lit(0.0))
   }
 
   /** getHeightWall (InputDataFormatting.groovy:904-914): roof height minus a
