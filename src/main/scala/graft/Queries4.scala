@@ -142,6 +142,7 @@ object Queries4 {
       (c.between(11, 19) && r.between(2, 7)) ||
       (c.between(25, 29) && r.between(3, 7))
     cells.withColumn("lcz_primary", when(urban, 1).otherwise(101))
+      .withColumn("id_zone", lit(1)) // single zone: ids match the hand-derived oracle
   }
 
   // ---- exact-SVF scene: 4 RSU squares 100x100 at 120 spacing, 12 strictly
@@ -179,7 +180,7 @@ object Queries4 {
 
     // -- sprawl areas: urban-cell union + closing (erode/dilate) ----------
     "sprawl_areas" -> ((s, dir) => {
-      SpatialUnits.computeSprawlAreas(sprawlGrid(s), "lcz_primary", 15.0)
+      SpatialUnits.computeSprawlAreas(sprawlGrid(s), "id_zone", "lcz_primary", 15.0)
         .select(col("id"),
           round(G.stArea(col("the_geom")), 9).as("area"),
           round(G.stPerimeter(col("the_geom")), 9).as("perimeter"))
@@ -192,15 +193,15 @@ object Queries4 {
     "sprawl_distances" -> ((s, dir) => {
       val gi = sprawlGrid(s)
       val cells = gi.select("id_grid", "the_geom")
-      val sprawl = SpatialUnits.computeSprawlAreas(gi, "lcz_primary", 15.0)
+      val sprawl = SpatialUnits.computeSprawlAreas(gi, "id_zone", "lcz_primary", 15.0)
         .localCheckpoint() // reused by 3 downstream branches
       val indist = GridIndicators.gridDistances(sprawl.select("the_geom"), cells, grid, Res)
         .withColumnRenamed("distance", "urban_sprawl_indist")
-      val inverse = SpatialUnits.inversePolygonsLayer(sprawl)
+      val inverse = SpatialUnits.inversePolygonsLayer(sprawl, "id_zone")
       val outdist = GridIndicators.gridDistances(inverse.select("the_geom"), cells, grid, Res)
         .withColumnRenamed("distance", "urban_sprawl_outdist")
-      val cool = SpatialUnits.extractCoolAreas(gi, "lcz_primary", sprawl, 7.5, grid, Res)
-      val invCool = SpatialUnits.inversePolygonsLayer(sprawl, cool, grid, Res)
+      val cool = SpatialUnits.extractCoolAreas(gi, "id_zone", "lcz_primary", sprawl, 7.5, grid, Res)
+      val invCool = SpatialUnits.inversePolygonsLayer(sprawl, "id_zone", cool, grid, Res)
       val coolDist = GridIndicators.gridDistances(invCool.select("the_geom"), cells, grid, Res)
         .withColumnRenamed("distance", "urban_sprawl_cool_indist")
       gi.select("id_grid")
@@ -436,8 +437,11 @@ object Queries4 {
       val s = x.toString
       "CAST(" + (if (s.contains('.') || s.contains('E')) s else s + ".0") + " AS DOUBLE)"
     }
-    // base-2 radical inverse: dyadic, exact in any order
-    val rad2 = (0 until 12).map(b => s"((i >> $b) & 1) * ${L(math.pow(0.5, b + 1))}")
+    // base-2 radical inverse: dyadic, exact in any order. 13 bits: the
+    // engine scans candidate i up to 4096 = 2^12 inclusive
+    // (Svf.deterministicPoints maxTrials), so bit 12 must be representable
+    // even though the fixture finds its ~17 points long before trial 4096.
+    val rad2 = (0 until 13).map(b => s"((i >> $b) & 1) * ${L(math.pow(0.5, b + 1))}")
       .mkString(" + ")
     // base-3: f-constants from the SAME successive-division loop as
     // Svf.radical3 (1.0/3 then /=3 — NOT algebraic 3^-(b+1))

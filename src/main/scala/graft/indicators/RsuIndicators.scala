@@ -34,7 +34,9 @@ object RsuIndicators {
    * buildings keep 0.
    */
   def freeExternalFacadeDensityExact(buildingWithRsu: DataFrame, rsu: DataFrame,
-                                     idRsu: String = "id_rsu"): DataFrame = {
+                                     idRsu: String = "id_rsu",
+                                     grid: CellGrid = CellGrid.fixture,
+                                     res: Int = 12): DataFrame = {
     val snapTol = 0.01
     val buildLine = buildingWithRsu
       .join(rsu.select(col(idRsu), col("the_geom").as("__rg")), Seq(idRsu), "left")
@@ -46,7 +48,17 @@ object RsuIndicators {
       .localCheckpoint() // reused by the shared-facade self-join
     val bAlias = buildLine.select(col(idRsu), col("id_build").as("__idb"),
       col("__lg").as("__lgb"), col("height_wall").as("__hwb"))
-    val shared = buildLine.join(bAlias, Seq(idRsu))
+    // Shared-wall pair search prefiltered by envelope-cell candidates (the
+    // reference's `a.the_geom && b.the_geom` index probe,
+    // RsuIndicators.groovy:141-155) instead of ALL same-RSU pairs — the
+    // O(n²)-snaps-per-dense-RSU scale killer. Envelopes padded by the snap
+    // tolerance: a pair whose padded envelopes are disjoint has geometry
+    // distance > snapTol, so ST_Snap leaves it untouched and the
+    // ST_INTERSECTS refinement below would reject it anyway — the prefilter
+    // is provably output-equivalent to the all-pairs join.
+    val shared = SpatialJoin.candidatesBbox(
+        buildLine.select(col("id_build"), col(idRsu), col("__lg"), col("height_wall")), "__lg",
+        bAlias, "__lgb", grid, res, pad = snapTol, keys = Seq(idRsu))
       .where(col("id_build") =!= col("__idb"))
       .withColumn("__snapped", G.stSnap(col("__lgb"), col("__lg"), lit(snapTol)))
       .where(G.stIntersects(col("__lg"), col("__snapped")))

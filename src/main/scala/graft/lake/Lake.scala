@@ -39,21 +39,31 @@ object Lake {
   private def field(json: String, name: String): Option[String] =
     ("\"" + name + "\":\"?([^\",}]+)\"?").r.findFirstMatchIn(json).map(_.group(1))
 
-  /** Current committed snapshot version of a stage (requires a manifest). */
-  def currentVersion(root: String, stage: String): Int = {
+  /** Current committed snapshot version of a stage (requires a manifest);
+    * None for a LEGACY manifest written before the snapshot layout (no
+    * version field) — its data lives under `data/`, not `data-v<N>/`. */
+  def currentVersionOpt(root: String, stage: String): Option[Int] = {
     val m = new String(Files.readAllBytes(manifestPath(root, stage)), StandardCharsets.UTF_8)
-    field(m, "version").map(_.toInt).getOrElse(1)
+    field(m, "version").map(_.toInt)
   }
+  def currentVersion(root: String, stage: String): Int =
+    currentVersionOpt(root, stage).getOrElse(1)
 
   def read(spark: SparkSession, root: String, stage: String): DataFrame =
-    readSnapshot(spark, root, stage, currentVersion(root, stage))
+    currentVersionOpt(root, stage) match {
+      case Some(v) => readSnapshot(spark, root, stage, v)
+      case None    => spark.read.parquet(s"$root/$stage/data") // legacy pre-snapshot layout stays readable + resumable
+    }
 
   /** Time travel: read snapshot `version` of a stage (immutable history). */
   def readSnapshot(spark: SparkSession, root: String, stage: String, version: Int): DataFrame =
     spark.read.parquet(s"$root/$stage/data-v$version")
 
   def readLineage(spark: SparkSession, root: String, stage: String): DataFrame =
-    spark.read.parquet(s"$root/$stage/lineage-v${currentVersion(root, stage)}")
+    currentVersionOpt(root, stage) match {
+      case Some(v) => spark.read.parquet(s"$root/$stage/lineage-v$v")
+      case None    => spark.read.parquet(s"$root/$stage/lineage") // legacy layout
+    }
 
   /** All committed snapshots of a stage: (version, rows, committedAtMs). */
   def snapshots(root: String, stage: String): Seq[(Int, Long, Long)] = {

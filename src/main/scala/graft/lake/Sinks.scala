@@ -51,8 +51,18 @@ object Sinks {
 
   private def jsonValue(v: Any): String = v match {
     case null => "null"
-    case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case s: String => "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x" // all control chars — bare they make the file invalid JSON
+      case c => c.toString
+    } + "\""
     case b: Boolean => b.toString
+    case d: Double if d.isNaN || d.isInfinite => "null" // JSON has no non-finite numbers
+    case f: Float if f.isNaN || f.isInfinite => "null"
     case n => n.toString
   }
 
@@ -60,10 +70,13 @@ object Sinks {
    * Write a DataFrame with a WKB geometry column as one GeoJSON
    * FeatureCollection file; all other columns become feature properties.
    * Features are ordered by the DataFrame's current ordering.
+   * Serialization is distributed; the driver streams partitions to the file
+   * one at a time via `toLocalIterator` (driver memory = one partition's
+   * features, never the whole dataset).
    */
   def writeGeoJson(df: DataFrame, geomCol: String, path: String): Unit = {
     val props = df.schema.fieldNames.filterNot(_ == geomCol)
-    val features: Array[String] = df.select(
+    val features = df.select(
         (col(geomCol) +: props.map(col)): _*)
       .mapPartitions { it: Iterator[Row] =>
         it.map { r =>
@@ -73,10 +86,18 @@ object Sinks {
           }.mkString(",")
           s"""{"type":"Feature","geometry":${geometryJson(g)},"properties":{$ps}}"""
         }
-      }(org.apache.spark.sql.Encoders.STRING).collect()
-    val out = features.mkString(
-      """{"type":"FeatureCollection","features":[""", ",", "]}")
-    java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      out.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }(org.apache.spark.sql.Encoders.STRING)
+    val w = java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(path),
+      java.nio.charset.StandardCharsets.UTF_8)
+    try {
+      w.write("""{"type":"FeatureCollection","features":[""")
+      var first = true
+      val it = features.toLocalIterator()
+      while (it.hasNext) {
+        if (!first) w.write(",")
+        w.write(it.next()); first = false
+      }
+      w.write("]}")
+    } finally w.close()
   }
 }

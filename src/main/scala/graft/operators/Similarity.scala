@@ -149,16 +149,16 @@ object Similarity {
     // materialize the chunk table once (it feeds both sides of the block
     // self-join; without this the grouping shuffle runs twice)
     val chunkDf = chunks.toDF("ck", "vs").localCheckpoint()
-    // Enumerate the (ck_a <= ck_b) pairs EXPLICITLY and attach each side
-    // with an equi-join: a `<=` theta-join would force Spark to broadcast
-    // (or cartesian) the packed chunk table — i.e. ship the ENTIRE dataset
-    // to every task. Only the chunk-ID LIST reaches the driver (N/chunkSize
-    // values — bounded metadata, not data).
-    val ckIds = chunkDf.select(col("ck")).as[Long].collect().sorted
-    val pairs = spark.createDataset(
-      for { i <- ckIds.indices; j <- i until ckIds.length }
-        yield (ckIds(i), ckIds(j))
-    ).toDF("ck_a", "ck_b")
+    // Enumerate the (ck_a <= ck_b) pairs as a SELF-JOIN of the tiny
+    // chunk-ID table (ids only, N/chunkSize rows): the `<=` theta runs as a
+    // broadcast nested-loop over bare longs — bounded metadata, never the
+    // packed vectors — and NOTHING reaches the driver (the round-1 version
+    // collected chunk ids and built the O((N/C)²) pair list driver-side).
+    // The packed chunk table is attached afterwards by equi-join, so the
+    // vectors never ride the theta-join either.
+    val ckDf = chunkDf.select(col("ck"))
+    val pairs = ckDf.select(col("ck").as("ck_a"))
+      .join(broadcast(ckDf.select(col("ck").as("ck_b"))), col("ck_a") <= col("ck_b"))
     pairs
       .join(chunkDf.select(col("ck").as("ck_a"), col("vs").as("vs_a")), Seq("ck_a"))
       .join(chunkDf.select(col("ck").as("ck_b"), col("vs").as("vs_b")), Seq("ck_b"))

@@ -211,6 +211,44 @@ object SpatialJoin {
       .drop(CellCol, "__aenv", "__benv")
   }
 
+  /**
+   * Candidate pairs by ENVELOPE-cover cell equijoin with exact
+   * bbox-intersect dedup — the reference's `a.the_geom && b.the_geom`
+   * R-tree prefilter (RsuIndicators.groovy:141-155) as a hash equi-join.
+   * Unlike `candidates` (geometry-pruned covers), envelope covers guarantee
+   * the dedup reference point (lower-left corner of the bbox intersection)
+   * is a shared cover cell whenever the bboxes intersect, so every
+   * bbox-intersecting pair survives exactly once — geometry-pruned covers
+   * can drop pairs whose reference cell touches neither geometry (fine for
+   * rectangles, wrong for line/L-shaped geometries). `pad` expands both
+   * envelopes (e.g. by a snap tolerance) so nearly-touching pairs are kept;
+   * `keys` adds extra equi-join keys (e.g. a zone id) so pairing never
+   * crosses groups.
+   */
+  def candidatesBbox(a: DataFrame, aGeom: String, b: DataFrame, bGeom: String,
+                     grid: CellGrid, res: Int, pad: Double = 0.0,
+                     keys: Seq[String] = Nil, broadcastB: Boolean = false): DataFrame = {
+    val envU = udf((wkb: Array[Byte]) => {
+      val e = Geo.fromWkb(wkb).getEnvelopeInternal
+      if (e.isNull) null else { e.expandBy(pad); Array(e.getMinX, e.getMinY) }
+    })
+    val envCoverU = udf((wkb: Array[Byte]) => {
+      val e = Geo.fromWkb(wkb).getEnvelopeInternal
+      if (e.isNull) Array.empty[Long] else { e.expandBy(pad); grid.coverEnvelope(e, res) }
+    })
+    val aC = a.withColumn("__aenv", envU(col(aGeom)))
+      .withColumn(CellCol, explode(envCoverU(col(aGeom))))
+    val bC0 = b.withColumn("__benv", envU(col(bGeom)))
+      .withColumn(CellCol, explode(envCoverU(col(bGeom))))
+    val bC = if (broadcastB) broadcast(bC0) else bC0
+    val refCell = cellUdf(grid, res)(
+      greatest(col("__aenv")(0), col("__benv")(0)),
+      greatest(col("__aenv")(1), col("__benv")(1)))
+    aC.join(bC, (CellCol +: keys).toSeq)
+      .where(refCell === col(CellCol))
+      .drop(CellCol, "__aenv", "__benv")
+  }
+
   /** Intersection join: candidates refined by prepared ST_INTERSECTS
     * (reference `&&` + ST_INTERSECTS — BuildingIndicators.groovy:162-163). */
   def intersectsJoin(a: DataFrame, aGeom: String, b: DataFrame, bGeom: String,

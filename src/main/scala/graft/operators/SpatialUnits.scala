@@ -142,11 +142,25 @@ object SpatialUnits {
   /** LCZ classes counted as rural/cool (SpatialUnits.groovy:641,737). */
   val RuralLcz: Seq[Int] = Seq(101, 102, 103, 104, 106, 107)
 
-  private def mintIds(df: DataFrame): DataFrame =
-    df.withColumn("__cx", G.stX(G.stCentroid(col("the_geom"))))
+  /** Dense ids over (zone, centroid) order without a data-scale global
+    * window: per-zone ranks run partitioned; the offsets window covers only
+    * #zones rows (same shape as createTSU). Single-zone inputs get the exact
+    * ids the old global-window form minted. */
+  private def mintIds(df: DataFrame, zoneId: String): DataFrame = {
+    val parts = df.withColumn("__cx", G.stX(G.stCentroid(col("the_geom"))))
       .withColumn("__cy", G.stY(G.stCentroid(col("the_geom"))))
-      .withColumn("id", row_number().over(Window.orderBy(col("__cx"), col("__cy"))))
-      .select(col("id"), col("the_geom"))
+      .localCheckpoint() // tiny (sprawl parts per zone); ranks + offsets both read it
+    val ranked = parts.withColumn("__rk", row_number().over(
+      Window.partitionBy(col(zoneId)).orderBy(col("__cx"), col("__cy"))))
+    val offsets = parts.groupBy(col(zoneId)).agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col(zoneId)).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L))) // #zones rows only — not a data-scale window
+      .select(col(zoneId), col("__off"))
+    ranked.join(offsets, Seq(zoneId))
+      .select(col(zoneId), (col("__off") + col("__rk")).cast("int").as("id"), col("the_geom"))
+  }
 
   /**
    * Sprawl areas (SpatialUnits.groovy:611-673): continuous urban-LCZ area =
@@ -155,97 +169,107 @@ object SpatialUnits {
    * `distance`, union, erode `distance` — quad 2/flat/mitre limit 2) merges
    * patches closer than 2·distance; final parts keep erosion-area > d².
    *
-   * The two unions are whole-layer geometry ops, like the reference's
-   * (single-zone) ST_UNION(ST_ACCUM(...)); at scale this operator runs per
-   * zone — each zone one task, zones parallel (same shape as polygonize,
-   * SURVEY §7.4.2). Output ids are minted over centroid order (the handful
-   * of sprawl polygons per zone — not a data-scale window).
+   * The reference computes its (single-zone) ST_UNION(ST_ACCUM(...)) over
+   * the whole layer; here every union aggregate is KEYED by `zoneId` —
+   * one task per zone, zones parallel (same shape as polygonize, SURVEY
+   * §7.4.2) — so a national grid never funnels into one reducer. Output ids
+   * are minted over (zone, centroid) order.
    */
-  def computeSprawlAreas(gridIndicators: DataFrame, lczCol: String,
-                         distance: Double): DataFrame = {
+  def computeSprawlAreas(gridIndicators: DataFrame, zoneId: String, lczCol: String,
+                         distance: Double): DataFrame =
+    mintIds(sprawlParts(gridIndicators, zoneId, lczCol, distance), zoneId)
+
+  /** Pre-id sprawl parts `(zoneId, the_geom)` — exposed (without the
+    * id-minting checkpoint) so plan audits can assert the union aggregates
+    * are keyed per zone. */
+  def sprawlParts(gridIndicators: DataFrame, zoneId: String, lczCol: String,
+                  distance: Double): DataFrame = {
     require(distance >= 0, "distance must be >= 0")
     val urban = gridIndicators.where(!col(lczCol).isin(RuralLcz: _*))
-    val parts = urban.agg(G.st_union_agg(col("the_geom")).as("__u"))
-      .select(explode(G.stExplode(col("__u"))).as("the_geom"))
+    val parts = urban.groupBy(col(zoneId)).agg(G.st_union_agg(col("the_geom")).as("__u"))
+      .select(col(zoneId), explode(G.stExplode(col("__u"))).as("the_geom"))
     if (distance == 0)
-      return mintIds(parts.select(G.stRemoveHoles(col("the_geom")).as("the_geom"))
-        .where(!G.stIsEmpty(col("the_geom"))))
+      return parts.select(col(zoneId), G.stRemoveHoles(col("the_geom")).as("the_geom"))
+        .where(!G.stIsEmpty(col("the_geom")))
     // the reference filters the RAW exploded part (holes still present),
     // THEN strips holes (SpatialUnits.groovy:652-656 WHERE vs SELECT)
     val tmp = parts
       .where(G.stArea(G.stBufferQuad(col("the_geom"), lit(-distance), lit(2))) > 1)
-      .select(G.stRemoveHoles(col("the_geom")).as("the_geom"))
-    val closed = tmp
-      .select(G.stBufferClosing(G.stRemoveHoles(col("the_geom")), lit(distance)).as("g"))
-      .agg(G.st_union_agg(col("g")).as("__u"))
-      .select(G.stRemoveHoles(
+      .select(col(zoneId), G.stRemoveHoles(col("the_geom")).as("the_geom"))
+    tmp
+      .select(col(zoneId), G.stBufferClosing(G.stRemoveHoles(col("the_geom")), lit(distance)).as("g"))
+      .groupBy(col(zoneId)).agg(G.st_union_agg(col("g")).as("__u"))
+      .select(col(zoneId), G.stRemoveHoles(
         G.stBufferClosing(col("__u"), lit(-distance))).as("__c"))
-      .select(explode(G.stExplode(col("__c"))).as("the_geom"))
+      .select(col(zoneId), explode(G.stExplode(col("__c"))).as("the_geom"))
       .where(!G.stIsEmpty(col("the_geom"))
         && G.stArea(G.stBufferQuad(col("the_geom"), lit(-distance), lit(2))) > distance * distance)
-    mintIds(closed)
   }
 
   /**
-   * Inverse layer (SpatialUnits.groovy:681-699): collective extent of the
-   * input polygons minus the polygons, exploded.
+   * Inverse layer (SpatialUnits.groovy:681-699): per-zone collective extent
+   * of the input polygons minus the polygons, exploded. Union + extent
+   * aggregates are keyed by `zoneId` (no whole-layer single-task union).
    */
-  def inversePolygonsLayer(polys: DataFrame): DataFrame = {
-    val inv = polys
+  def inversePolygonsLayer(polys: DataFrame, zoneId: String): DataFrame = {
+    val inv = polys.groupBy(col(zoneId))
       .agg(min(G.stXMin(col("the_geom"))).as("x0"), min(G.stYMin(col("the_geom"))).as("y0"),
         max(G.stXMax(col("the_geom"))).as("x1"), max(G.stYMax(col("the_geom"))).as("y1"),
         G.st_union_agg(col("the_geom")).as("__u"))
-      .select(explode(G.stExplode(G.stDifference(
+      .select(col(zoneId), explode(G.stExplode(G.stDifference(
         G.stMakeBox(col("x0"), col("y0"), col("x1"), col("y1")), col("__u")))).as("the_geom"))
       .where(!G.stIsEmpty(col("the_geom")))
-    mintIds(inv)
+    mintIds(inv, zoneId)
   }
 
   /**
    * Inverse layer, masked form (SpatialUnits.groovy:707-727): each input
    * polygon that contains the point-on-surface of some `toRemove` polygon,
-   * minus the union of ALL its matching `toRemove` polygons.
+   * minus the union of ALL its matching `toRemove` polygons. The union is
+   * keyed per (zone, polygon) — never whole-layer.
    */
-  def inversePolygonsLayer(polys: DataFrame, toRemove: DataFrame,
+  def inversePolygonsLayer(polys: DataFrame, zoneId: String, toRemove: DataFrame,
                            grid: graft.index.CellGrid, res: Int): DataFrame = {
     val rm = toRemove.select(G.stPointOnSurf(col("the_geom")).as("__pos"),
       col("the_geom").as("__rgeom"))
     val pts = rm.select(G.stX(col("__pos")).as("__px"), G.stY(col("__pos")).as("__py"),
       col("__rgeom"))
     val matched = SpatialJoin.pointInPolygon(pts, "__px", "__py",
-      polys.select(col("the_geom")), "the_geom", grid, res)
-    val inv = matched.groupBy(col("the_geom"))
+      polys.select(col(zoneId), col("the_geom")), "the_geom", grid, res)
+    val inv = matched.groupBy(col(zoneId), col("the_geom"))
       .agg(G.st_union_agg(col("__rgeom")).as("__u"))
-      .select(explode(G.stExplode(
+      .select(col(zoneId), explode(G.stExplode(
         G.stDifference(col("the_geom"), col("__u")))).as("the_geom"))
       .where(!G.stIsEmpty(col("the_geom")))
-    mintIds(inv)
+    mintIds(inv, zoneId)
   }
 
   /**
    * Cool areas (SpatialUnits.groovy:735-758): union of rural-LCZ grid cells
    * whose point-on-surface lies inside the mask polygons, exploded; parts
-   * with erosion-area <= distance² dropped (distance > 0).
+   * with erosion-area <= distance² dropped (distance > 0). The union is
+   * keyed by `zoneId` (carried on the grid cells) — never whole-layer.
    */
-  def extractCoolAreas(gridIndicators: DataFrame, lczCol: String,
+  def extractCoolAreas(gridIndicators: DataFrame, zoneId: String, lczCol: String,
                        mask: DataFrame, distance: Double,
                        grid: graft.index.CellGrid, res: Int): DataFrame = {
     val rural = gridIndicators.where(col(lczCol).isin(RuralLcz: _*))
-      .select(col("the_geom").as("__cgeom"),
+      .select(col(zoneId), col("the_geom").as("__cgeom"),
         G.stPointOnSurf(col("the_geom")).as("__pos"))
-      .select(col("__cgeom"), G.stX(col("__pos")).as("__px"), G.stY(col("__pos")).as("__py"))
+      .select(col(zoneId), col("__cgeom"),
+        G.stX(col("__pos")).as("__px"), G.stY(col("__pos")).as("__py"))
     val inMask = SpatialJoin.pointInPolygon(rural, "__px", "__py",
         mask.select(col("the_geom").as("__mgeom")), "__mgeom", grid, res)
-      .select(col("__cgeom")).dropDuplicates("__cgeom")
-    val parts = inMask.agg(G.st_union_agg(col("__cgeom")).as("__u"))
-      .select(explode(G.stExplode(col("__u"))).as("the_geom"))
+      .select(col(zoneId), col("__cgeom")).dropDuplicates(zoneId, "__cgeom")
+    val parts = inMask.groupBy(col(zoneId)).agg(G.st_union_agg(col("__cgeom")).as("__u"))
+      .select(col(zoneId), explode(G.stExplode(col("__u"))).as("the_geom"))
       .where(!G.stIsEmpty(col("the_geom")))
     val filtered =
       if (distance > 0)
         parts.where(G.stArea(G.stBufferQuad(col("the_geom"), lit(-distance), lit(2)))
           > distance * distance)
       else parts
-    mintIds(filtered)
+    mintIds(filtered, zoneId)
   }
 
   /**

@@ -66,6 +66,23 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"))
   }
 
+  test("sprawl unions are keyed per zone (no whole-layer single-task union)") {
+    // the public query checkpoints before id-minting (plan lineage cut), so
+    // audit the pre-mint pipeline, where the union aggregates live
+    import org.apache.spark.sql.functions._
+    import graft.operators.{SpatialUnits, Tiling}
+    val cells = Tiling.makeGrid(spark, 0, 0, 200, 100, 10, 10)
+      .withColumn("lcz_primary",
+        when(col("id_col").between(1, 8) && col("id_row").between(2, 7), 1).otherwise(101))
+      .withColumn("id_zone", pmod(col("id_grid"), lit(2))) // data-dependent: a lit() key would constant-fold into a single group
+    val p = SpatialUnits.sprawlParts(cells, "id_zone", "lcz_primary", 15.0)
+      .queryExecution.optimizedPlan.toString
+    val unionAggLines = p.linesIterator.filter(_.contains("unionagg")).toSeq
+    assert(unionAggLines.nonEmpty, p.take(2000))
+    assert(unionAggLines.forall(_.matches(""".*Aggregate \[id_zone#\d+L?\].*""")),
+      unionAggLines.mkString("\n"))
+  }
+
   test("blocks_cc: no single-partition exchange (stable component labels as ids)") {
     val p = plan("blocks_cc")
     assert(!p.contains("Exchange SinglePartition"), p.take(3000))

@@ -16,6 +16,26 @@ class SvfSpec extends SparkTestBase {
     assert(math.abs(Svf.radical3(3) - 1.0 / 9) < 1e-15)
   }
 
+  test("rsu_svf_exact oracle preconditions: every fixture RSU samples n > 0 points, found well before trial 4096") {
+    // The generated DuckDB oracle (Queries4.svfOracle) replicates the Halton
+    // scan but NOT the engine's n==0 interior-point fallback, and its rad2
+    // covers bits 0-12 (candidate i <= 4096). Both are safe only while every
+    // oracle-backed RSU asks for n >= 1 points and finds them early — assert
+    // that here so a fixture/density change trips a test, not the oracle.
+    val density = 0.002 // Queries4.SvfDensity
+    for (r <- 0 until 4) {
+      val builtArea = (0 until 48).filter(_ % 4 == r).map { d =>
+        val w = (d % 5) + 6; val h = (d * 3 % 6) + 6; (w * h).toDouble
+      }.sum
+      val n = math.min(math.floor(density * (10000.0 - builtArea)).toLong, 100L)
+      assert(n > 0, s"RSU $r would take the n==0 fallback the oracle lacks")
+      // the free polygon spans the whole RSU envelope; Halton fills it
+      // densely — all n points must be found long before the 4096 cap
+      val free = Geo.toWkb(Geo.box(r * 120.0, 0, r * 120.0 + 100, 100))
+      assert(Svf.deterministicPoints(free, n.toInt).length == n)
+    }
+  }
+
   test("svfAtPoint: single wall, hand-computed") {
     // point at origin; square wall [10,20]x[-5,5], h=10; 4 cardinal rays.
     // East ray crosses x=10 at t=10 -> sin^2 = 100/(100+100) = 0.5; the far

@@ -27,6 +27,23 @@ class LakeSpec extends SparkTestBase {
     assert(computeCount == 2)
   }
 
+  test("legacy pre-snapshot stage (data/, versionless manifest) stays readable + resumable") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("lake-legacy").toString
+    // hand-build the old layout: data/ + lineage/ parquet, manifest WITHOUT a version field
+    spark.range(42).toDF("v").write.parquet(s"$root/old/data")
+    spark.range(1).select(lit("f").as("file"), lit(10L).as("bytes"),
+      lit(42L).as("rows"), lit("old").as("stage")).write.parquet(s"$root/old/lineage")
+    Files.write(java.nio.file.Paths.get(root, "old", "manifest.json"),
+      """{"stage":"old","rows":42,"files":1,"bytes":10}""".getBytes)
+    assert(Lake.read(spark, root, "old").count() == 42)
+    assert(Lake.readLineage(spark, root, "old").count() == 1)
+    // stage() resumes (reads back) instead of throwing on data-v1
+    var computed = false
+    val df = Lake.stage(spark, root, "old") { computed = true; spark.range(1).toDF("v") }
+    assert(df.count() == 42 && !computed)
+  }
+
   test("snapshots: recompute creates a new version; old snapshots time-travel") {
     import spark.implicits._
     val root = Files.createTempDirectory("lake-tt").toString

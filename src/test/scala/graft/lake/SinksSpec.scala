@@ -31,4 +31,25 @@ class SinksSpec extends SparkTestBase {
     assert(feats(1).getString(2) == "b\"q" && feats(2).isNullAt(2))
     assert(txt.contains("[2.5,7.5]")) // point coordinates verbatim
   }
+
+  test("writeGeoJson emits valid JSON for control chars and non-finite doubles") {
+    val rows = Seq(
+      (1, "line\nbreak\ttabctl", Double.NaN),
+      (2, "plain", Double.PositiveInfinity),
+      (3, "x", 1.5))
+      .toDF("id", "name", "score").orderBy("id")
+      .withColumn("the_geom", lit(Geo.toWkb(Geo.point(1, 2))))
+    val path = Files.createTempDirectory("gj2").resolve("out.geojson").toString
+    Sinks.writeGeoJson(rows, "the_geom", path)
+    val txt = new String(Files.readAllBytes(java.nio.file.Paths.get(path)))
+    // must parse as strict JSON (control chars escaped, NaN/Inf -> null)
+    val parsed = spark.read.option("mode", "FAILFAST").json(Seq(txt).toDS())
+    val feats = parsed.select(explode(col("features")).as("f"))
+      .select(col("f.properties.id").as("id"), col("f.properties.name").as("name"),
+        col("f.properties.score").as("score"))
+      .orderBy("id").collect()
+    assert(feats(0).getString(1) == "line\nbreak\ttabctl")
+    assert(feats(0).isNullAt(2) && feats(1).isNullAt(2))
+    assert(feats(2).getDouble(2) == 1.5)
+  }
 }
