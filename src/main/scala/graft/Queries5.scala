@@ -1,0 +1,281 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geom.{GeoFunctions => G}
+import graft.sources.{OsmLayers, OsmTagMaps}
+
+/**
+ * Fifth query batch (round 3): OSM layer formatting (building + road type
+ * mapping — InputDataFormatting.groovy:62-482). The tag→type CASE chains in
+ * the DuckDB oracles are GENERATED from the same [[OsmTagMaps]] structures
+ * the engine compiles to Catalyst (first-match-wins parity by
+ * construction); heights use the analytic-per-tag-shape scheme of
+ * `osm_format_heights` (Queries4). See "Oracle-exactness rules",
+ * Queries.scala.
+ */
+object Queries5 {
+
+  // ---- SQL emitters for the first-match-wins rule tables ------------------
+
+  private def sq(s: String) = "'" + s.replace("'", "''") + "'"
+
+  private def condSql(tagSql: String, v: String): String =
+    if (v.startsWith("!")) s"($tagSql IS NOT NULL AND $tagSql <> ${sq(v.replace("! ", ""))})"
+    else s"$tagSql = ${sq(v)}"
+
+  /** getTypeValue as one CASE chain (same skip rules as OsmLayers.typeValue:
+    * tags outside `cols` and empty value lists drop out of the condition). */
+  private def caseSql(rules: Seq[(String, Seq[(String, Seq[String])])],
+                      cols: Set[String], tagSql: String => String): String = {
+    val whens = rules.flatMap { case (k, conds) =>
+      val cs = conds.collect { case (t, vs) if cols(t) && vs.nonEmpty =>
+        vs.map(v => condSql(tagSql(t), v)).mkString("(", " OR ", ")")
+      }
+      if (cs.isEmpty) None else Some(s"WHEN ${cs.mkString("(", " OR ", ")")} THEN ${sq(k)}")
+    }
+    if (whens.isEmpty) "CAST(NULL AS VARCHAR)"
+    else whens.mkString("CASE ", " ", " ELSE NULL END")
+  }
+
+  private def useOverrideSql(buSql: String): String = {
+    val l = s"lower(trim($buSql))"
+    val whens = OsmTagMaps.buildingUse.map { case (k, syns) =>
+      val eq = (s"$l = ${sq(k)}" +: syns.map(v => s"$l = ${sq(v)}")).mkString("(", " OR ", ")")
+      s"WHEN $eq THEN ${sq(k)}"
+    }
+    whens.mkString("CASE ", " ", " ELSE NULL END")
+  }
+
+  private def levelMapSql(typeSql: String): String =
+    OsmTagMaps.buildingLevel.map { case (t, l) => s"WHEN $typeSql = ${sq(t)} THEN $l" }
+      .mkString("CASE ", " ", " ELSE NULL END")
+
+  private def widthMapSql(typeSql: String): String =
+    OsmTagMaps.roadWidth.map { case (t, w) => s"WHEN $typeSql = ${sq(t)} THEN $w" }
+      .mkString("CASE ", " ", " ELSE NULL END")
+
+  // ---- synthetic raw layers (shared between engine input and oracle) ------
+
+  private val BldTags = Seq("terminal", "house", "historic", "yes", "apartments",
+    "church", "hotel", "garage", "greenhouse", "monument", "wombat", "stadium")
+  // tag columns present on the synthetic building input — passed identically
+  // to the Catalyst compiler and the SQL emitter so both skip the same rules
+  private val BldCols = Set("building", "amenity", "building:use", "height",
+    "roof:height", "building:levels", "roof:levels", "layer", "roof:shape")
+
+  private def rawBuildings(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val v = (d % 20 + 1).cast("string")
+    s.read.parquet(s"$dir/documents.parquet").select(
+      d.as("id"),
+      element_at(lit(BldTags.toArray), (d % 12).cast("int") + 1).as("building"),
+      when(d % 7 === 0, "school").otherwise(lit(null).cast("string")).as("amenity"),
+      when(d % 5 === 0, " Hotel ").when(d % 5 === 1, "unknownuse")
+        .otherwise(lit(null).cast("string")).as("building:use"),
+      when(d % 8 === 0, lit(null).cast("string"))
+        .when(d % 8 === 1, v)
+        .when(d % 8 === 2, concat(v, lit(".5 m")))
+        .when(d % 8 === 3, concat(v, lit("'")))
+        .when(d % 8 === 4, concat(v, lit("''")))
+        .when(d % 8 === 5, concat(v, lit("'"), (d % 12).cast("string"), lit("''")))
+        .when(d % 8 === 6, concat(v, lit(" foot")))
+        .otherwise(lit("n/a")).as("height"),
+      when(d % 3 === 0, "2.5").otherwise(lit(null).cast("string")).as("roof:height"),
+      when(d % 4 === 0, (d % 5 + 1).cast("string"))
+        .otherwise(lit(null).cast("string")).as("building:levels"),
+      when(d % 6 === 0, "1").otherwise(lit(null).cast("string")).as("roof:levels"),
+      when(d % 10 === 9, "-1").when(d % 10 === 8, "2")
+        .otherwise(lit(null).cast("string")).as("layer"),
+      when(d % 2 === 0, "gable").otherwise(lit(null).cast("string")).as("roof:shape"),
+      (d % 3).cast("int").as("id_zone"),
+      G.stMakeBox((d % 40).cast("double") * 10, floor(d / 40).cast("double") * 10,
+        (d % 40).cast("double") * 10 + 4, floor(d / 40).cast("double") * 10 + 4).as("the_geom"))
+  }
+
+  private val RoadTags = Seq("residential", "motorway", "track", "proposed",
+    "primary", "footway", "cycleway", "service")
+  private val RoadCols = Set("width", "highway", "surface", "sidewalk", "layer",
+    "maxspeed", "lanes", "oneway", "bridge", "service", "access", "area",
+    "tracktype", "tunnel")
+
+  private def rawRoads(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    s.read.parquet(s"$dir/documents.parquet").select(
+      d.as("id"),
+      element_at(lit(RoadTags.toArray), (d % 8).cast("int") + 1).as("highway"),
+      when(d % 6 === 0, concat((d % 9 + 2).cast("string"), lit(".5")))
+        .when(d % 6 === 1, "wide").otherwise(lit(null).cast("string")).as("width"),
+      when(d % 5 === 0, (d % 90 + 10).cast("string"))
+        .when(d % 5 === 1, concat((d % 50 + 10).cast("string"), lit(" mph")))
+        .when(d % 5 === 2, concat((d % 50 + 10).cast("string"), lit(" kmh")))
+        .when(d % 5 === 3, "fast").otherwise(lit(null).cast("string")).as("maxspeed"),
+      when(d % 4 === 0, "yes").otherwise(lit(null).cast("string")).as("oneway"),
+      when(d % 7 === 0, "yes").when(d % 7 === 1, "viaduct").when(d % 7 === 2, "no")
+        .otherwise(lit(null).cast("string")).as("bridge"),
+      when(d % 11 === 0, "-1").when(d % 11 === 1, "1")
+        .otherwise(lit(null).cast("string")).as("layer"),
+      element_at(lit(Array[String](null, "asphalt", "grass", "sett", "concrete:plates")),
+        (d % 5).cast("int") + 1).as("surface"),
+      when(d % 9 === 0, "grade1").when(d % 9 === 1, "grade3").when(d % 9 === 2, "grade5")
+        .otherwise(lit(null).cast("string")).as("tracktype"),
+      element_at(lit(Array[String](null, "both", "left", "no")), (d % 4).cast("int") + 1).as("sidewalk"),
+      when(d % 13 === 0, "driveway").otherwise(lit(null).cast("string")).as("service"),
+      when(d % 17 === 0, "forestry").otherwise(lit(null).cast("string")).as("access"),
+      when(d % 19 === 0, "yes").otherwise(lit(null).cast("string")).as("area"),
+      when(d % 10 === 5, "yes").otherwise(lit(null).cast("string")).as("tunnel"),
+      when(d % 6 === 2, (d % 4 + 1).cast("string")).otherwise(lit(null).cast("string")).as("lanes"),
+      (d % 3).cast("int").as("id_zone"),
+      G.stGeomFromWkt(format_string("LINESTRING(%d %d, %d %d)",
+        (d % 40) * 10, floor(d / 40) * 10, (d % 40) * 10 + 8, floor(d / 40) * 10)).as("the_geom"))
+  }
+
+  // =========================================================================
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- formatBuildingLayer: tag->type/use hierarchy + levels + zindex
+    //    (InputDataFormatting.groovy:62-320) ------------------------------
+    "osm_format_building" -> ((s, dir) => {
+      // barrier on the SYNTH layer: its tag columns are themselves CaseWhen
+      // expressions over doc_id; fed straight in, the optimizer inlines each
+      // into every rule comparison of the 154-entry chain and codegen blows
+      // the heap. Real OSM inputs are materialized columns — no barrier.
+      OsmLayers.formatBuildingLayer(rawBuildings(s, dir).localCheckpoint(), "id_zone")
+        .select(col("id_build"), col("id_source"), col("type"), col("main_use"),
+          round(col("height_wall"), 6).as("height_wall"),
+          round(col("height_roof"), 6).as("height_roof"),
+          col("nb_lev"), col("zindex"), col("roof_shape"), col("estimated"))
+        .orderBy("id_build")
+    }),
+
+    // -- formatRoadLayer: type mapping, width defaults, crossing/surface/
+    //    sidewalk/speed (InputDataFormatting.groovy:323-482) --------------
+    "osm_format_road" -> ((s, dir) => {
+      OsmLayers.formatRoadLayer(rawRoads(s, dir).localCheckpoint(), "id_zone")
+        .select(col("id_road"), col("id_source"), col("type"), col("width"),
+          col("crossing"), col("surface"), col("sidewalk"), col("maxspeed"),
+          col("direction"), col("lanes"), col("zindex"), col("tunnel"))
+        .orderBy("id_road")
+    }))
+
+  // =========================================================================
+  val oracles: Map[String, String] = Map(
+
+    "osm_format_building" -> {
+      val tagSql = Map("building" -> "bld", "amenity" -> "amen",
+        "building:use" -> "bu", "height" -> "h", "roof:height" -> "rh",
+        "building:levels" -> "blev", "roof:levels" -> "rlev",
+        "layer" -> "lyr", "roof:shape" -> "rshape")
+      val typeCase = caseSql(OsmTagMaps.buildingType.map(r => (r._1, r._3)), BldCols, tagSql)
+      val useCase = caseSql(OsmTagMaps.buildingType.map(r => (r._2, r._3)), BldCols, tagSql)
+      val bldList = BldTags.map(sq).mkString("[", ", ", "]")
+      s"""WITH raw AS (SELECT doc_id AS id, doc_id % 8 AS m8,
+        |    CAST(doc_id % 20 + 1 AS DOUBLE) AS v, CAST(doc_id % 12 AS DOUBLE) AS inch,
+        |    $bldList[CAST(doc_id % 12 AS INT) + 1] AS bld,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'school' ELSE NULL END AS amen,
+        |    CASE WHEN doc_id % 5 = 0 THEN ' Hotel ' WHEN doc_id % 5 = 1 THEN 'unknownuse'
+        |         ELSE NULL END AS bu,
+        |    (doc_id % 3 = 0) AS has_rh,
+        |    CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id % 5 + 1 AS INT) ELSE NULL END AS iblev,
+        |    (doc_id % 6 = 0) AS has_rlev,
+        |    CASE WHEN doc_id % 10 = 9 THEN -1 WHEN doc_id % 10 = 8 THEN 2 ELSE 0 END AS zindex,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'gable' ELSE NULL END AS rshape,
+        |    CAST(doc_id % 3 AS INT) AS id_zone
+        |  FROM documents),
+        |tu AS (SELECT *, $typeCase AS type0, $useCase AS use0 FROM raw),
+        |tu2 AS (SELECT *, coalesce(type0, 'undefined') AS type,
+        |    coalesce(${useOverrideSql("bu")}, coalesce(use0, 'undefined')) AS main_use FROM tu),
+        |hr AS (SELECT *, CASE m8 WHEN 0 THEN 0.0 WHEN 1 THEN v WHEN 2 THEN v + 0.5
+        |    WHEN 3 THEN v * 12 * 0.0254 WHEN 4 THEN v * 0.0254
+        |    WHEN 5 THEN (v * 12 + inch) * 0.0254
+        |    WHEN 6 THEN v * 0.3048 ELSE 0.0 END AS hroof FROM tu2),
+        |hw AS (SELECT *, CASE WHEN has_rh THEN
+        |      (CASE WHEN 2.5 < hroof THEN hroof - 2.5 ELSE 0.0 END)
+        |    ELSE hroof END AS hwall,
+        |    CAST(coalesce(iblev + (CASE WHEN has_rlev THEN 1 ELSE 0 END), 0) AS INT) AS nl
+        |  FROM hr),
+        |fh AS (SELECT *, coalesce(${levelMapSql("type")}, 1) AS nld FROM hw),
+        |o AS (SELECT id, type, main_use, zindex, rshape, id_zone,
+        |  CASE WHEN hwall <> 0 AND hroof <> 0 AND nl <> 0 THEN hwall
+        |    WHEN hwall = 0 AND hroof = 0 AND nl = 0 THEN nld * 3.0
+        |    WHEN hwall = 0 AND hroof = 0 THEN nl * 3.0
+        |    WHEN hwall = 0 THEN hroof
+        |    ELSE hwall END AS height_wall,
+        |  CASE WHEN hwall <> 0 AND hroof <> 0 AND nl <> 0 THEN hroof
+        |    WHEN hwall = 0 AND hroof = 0 AND nl = 0 THEN nld * 3.0
+        |    WHEN hwall = 0 AND hroof = 0 THEN nl * 3.0
+        |    WHEN hwall = 0 THEN hroof
+        |    WHEN hwall > hroof THEN hwall
+        |    ELSE hroof END AS height_roof,
+        |  CAST(CASE WHEN hwall <> 0 AND hroof <> 0 AND nl <> 0 THEN nl
+        |    WHEN hwall = 0 AND hroof = 0 AND nl = 0 THEN nld
+        |    WHEN hwall = 0 AND hroof = 0 THEN nl
+        |    WHEN hwall = 0 THEN (CASE WHEN nl = 0 THEN greatest(floor(hroof / 3.0), 1) ELSE nl END)
+        |    WHEN hwall = hroof THEN (CASE WHEN nl = 0 THEN greatest(floor(hwall / 3.0), 1) ELSE nl END)
+        |    WHEN hwall > hroof THEN (CASE WHEN nl = 0 THEN greatest(floor(hwall / 3.0), 1) ELSE nl END)
+        |    ELSE (CASE WHEN nl = 0 THEN greatest(floor(hroof / 3.0), 1) ELSE nl END) END AS INT) AS nb_lev,
+        |  (hwall = 0 AND hroof = 0 AND nl = 0) AS estimated
+        |  FROM fh),
+        |kept AS (SELECT * FROM o WHERE nb_lev > 0 AND zindex >= 0)
+        |SELECT CAST(row_number() OVER (ORDER BY id_zone, CAST(id AS VARCHAR)) AS INT) AS id_build,
+        |  CAST(id AS VARCHAR) AS id_source, type, main_use,
+        |  round(height_wall, 6) AS height_wall, round(height_roof, 6) AS height_roof,
+        |  nb_lev, zindex, rshape AS roof_shape, estimated
+        |FROM kept ORDER BY id_build""".stripMargin
+    },
+
+    "osm_format_road" -> {
+      val tagSql = Map("highway" -> "hwy", "width" -> "w", "surface" -> "surf",
+        "sidewalk" -> "sw", "layer" -> "lyr", "maxspeed" -> "ms", "lanes" -> "ln",
+        "oneway" -> "ow", "bridge" -> "br", "service" -> "svc", "access" -> "acc",
+        "area" -> "ar", "tracktype" -> "tt", "tunnel" -> "tun")
+      val typeCase = caseSql(OsmTagMaps.roadType, RoadCols, tagSql)
+      val surfCase = caseSql(OsmTagMaps.roadSurface, RoadCols, tagSql)
+      val bridgeList = OsmTagMaps.roadCrossingBridge.map(sq).mkString("(", ", ", ")")
+      val roadList = RoadTags.map(sq).mkString("[", ", ", "]")
+      s"""WITH raw AS (SELECT doc_id AS id,
+        |    $roadList[CAST(doc_id % 8 AS INT) + 1] AS hwy,
+        |    CASE WHEN doc_id % 6 = 0 THEN CAST(doc_id % 9 + 2 AS DOUBLE) + 0.5
+        |         WHEN doc_id % 6 = 1 THEN 0.0 ELSE 0.0 END AS w0,
+        |    doc_id % 5 AS m5, CAST(doc_id % 90 + 10 AS INT) AS spd_bare,
+        |    CAST(doc_id % 50 + 10 AS INT) AS spd_unit,
+        |    (doc_id % 4 = 0) AS oneway,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'yes' WHEN doc_id % 7 = 1 THEN 'viaduct'
+        |         WHEN doc_id % 7 = 2 THEN 'no' ELSE NULL END AS br,
+        |    CASE WHEN doc_id % 11 = 0 THEN -1 WHEN doc_id % 11 = 1 THEN 1 ELSE 0 END AS z0,
+        |    [NULL, 'asphalt', 'grass', 'sett', 'concrete:plates'][CAST(doc_id % 5 AS INT) + 1] AS surf,
+        |    CASE WHEN doc_id % 9 = 0 THEN 'grade1' WHEN doc_id % 9 = 1 THEN 'grade3'
+        |         WHEN doc_id % 9 = 2 THEN 'grade5' ELSE NULL END AS tt,
+        |    [NULL, 'both', 'left', 'no'][CAST(doc_id % 4 AS INT) + 1] AS sw,
+        |    (doc_id % 13 = 0) AS is_drive, (doc_id % 17 = 0) AS is_forest,
+        |    (doc_id % 19 = 0) AS is_area, (doc_id % 10 = 5) AS is_tunnel,
+        |    CASE WHEN doc_id % 6 = 2 THEN CAST(doc_id % 4 + 1 AS INT) ELSE NULL END AS lanes,
+        |    CAST(doc_id % 3 AS INT) AS id_zone
+        |  FROM documents),
+        |f1 AS (SELECT * FROM raw WHERE NOT (is_drive OR is_forest OR is_area)),
+        |t1 AS (SELECT *, coalesce($typeCase, 'unclassified') AS type,
+        |    $surfCase AS surf0 FROM f1),
+        |t2 AS (SELECT *,
+        |    CASE WHEN w0 <= 0 AND ${widthMapSql("type")} IS NOT NULL
+        |         THEN ${widthMapSql("type")} ELSE w0 END AS width,
+        |    CASE WHEN br IN $bridgeList THEN 'bridge' ELSE NULL END AS crossing,
+        |    coalesce(surf0, CASE WHEN tt = 'grade1' THEN 'compacted'
+        |      WHEN tt IN ('grade2','grade3') THEN 'gravel'
+        |      WHEN tt IN ('grade4','grade5') THEN 'ground' ELSE NULL END) AS surface,
+        |    CASE WHEN sw = 'both' THEN 'two' WHEN sw IN ('right','left','yes') THEN 'one'
+        |         ELSE 'no' END AS sidewalk,
+        |    CASE m5 WHEN 0 THEN spd_bare WHEN 1 THEN CAST(round(spd_unit * 1.609) AS INT)
+        |         WHEN 2 THEN spd_unit ELSE -1 END AS maxspeed,
+        |    CASE WHEN oneway THEN 1 ELSE 3 END AS direction,
+        |    CASE WHEN is_tunnel THEN 1 ELSE 0 END AS tunnel
+        |  FROM t1),
+        |t3 AS (SELECT *, CASE WHEN z0 = 0 AND crossing IS NOT NULL THEN 1 ELSE z0 END AS zindex
+        |  FROM t2),
+        |kept AS (SELECT * FROM t3 WHERE zindex >= 0 AND (type <> 'track'
+        |    OR surface IN ('unpaved','asphalt','paved','cobblestone','metal','concrete','compacted')))
+        |SELECT CAST(row_number() OVER (ORDER BY id_zone, CAST(id AS VARCHAR)) AS INT) AS id_road,
+        |  CAST(id AS VARCHAR) AS id_source, type, width, crossing, surface, sidewalk,
+        |  maxspeed, direction, lanes, zindex, tunnel
+        |FROM kept ORDER BY id_road""".stripMargin
+    })
+}

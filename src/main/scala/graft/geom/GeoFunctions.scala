@@ -116,6 +116,8 @@ object GeoFunctions {
   /** ST_CollectionExtract(geom, 2): the LineString members only. */
   val stLines = udf { (b: Array[Byte]) => Geo.toWkb(Geo.linesOf(Geo.fromWkb(b))) }
   val stIsEmpty = udf { (b: Array[Byte]) => Geo.fromWkb(b).isEmpty }
+  /** ST_DIMENSION: topological dimension (0 point, 1 line, 2 polygon). */
+  val stDimension = udf { (b: Array[Byte]) => Geo.fromWkb(b).getDimension }
 
   // -- explode helpers (ST_TOMULTISEGMENTS / ST_EXPLODE) --
   /** array of segment structs (x1,y1,x2,y2,len,azimuth_deg in [0,180)). */

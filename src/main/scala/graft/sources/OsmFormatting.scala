@@ -80,9 +80,13 @@ object OsmFormatting {
    */
   def formatHeights(hw0: Column, hr0: Column, nl0: Column, hLevMin: Double,
                     buildingType: Column, levelMap: Map[String, Int]): Column = {
-    val typeLevels = levelMap.foldLeft(lit(null).cast("int")) { case (acc, (t, l)) =>
-      when(buildingType === t, l).otherwise(acc)
-    }
+    // ONE map-literal lookup, not a 154-branch CaseWhen: codegen assembly of
+    // a branch-per-type chain is quadratic in branch count (~10 s per
+    // execution with the full reference level map); element_at on a map
+    // literal is a single plan node and returns null for unmapped types
+    val typeLevels =
+      if (levelMap.isEmpty) lit(null).cast("int")
+      else element_at(typedLit(levelMap), buildingType)
     def res(hw: Column, hr: Column, nl: Column, est: Column) =
       struct(hw.as("height_wall"), hr.as("height_roof"),
         nl.cast("int").as("nb_lev"), est.as("estimated"))

@@ -1,0 +1,272 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.geom.{GeoFunctions => G}
+
+/**
+ * OSM layer formatting — the reference's `formatBuildingLayer`
+ * (osm/InputDataFormatting.groovy:62-320) and `formatRoadLayer` (:323-482)
+ * re-expressed as single codegen'd Catalyst projections (the reference is a
+ * per-row Groovy loop with JDBC batch inserts). The tag→model mapping DATA
+ * lives in [[OsmTagMaps]]; this object compiles it into first-match-wins
+ * CASE chains (getTypeAndUse / getTypeValue semantics,
+ * InputDataFormatting.groovy:851-894, 1020-1049: entry order wins, rules
+ * over tag columns absent from the input are skipped).
+ *
+ * Ids are minted dense per zone (per-zone ranks + #zones-row offsets — the
+ * same shape as SpatialUnits.createTSU), matching the reference's SERIAL
+ * insertion order for a deterministically-ordered input; no data-scale
+ * global window.
+ */
+object OsmLayers {
+
+  // ---- first-match-wins rule compilation (Catalyst) -----------------------
+
+  private def ruleCond(conds: Seq[(String, Seq[String])], cols: Set[String]): Option[Column] =
+    conds.collect { case (t, vs) if cols(t) && vs.nonEmpty =>
+      val (neg, pos) = vs.partition(_.startsWith("!"))
+      // positive values as ONE InSet probe (null tag -> null -> branch
+      // skipped, same as the ===-OR chain); negations ("! x") explicit
+      val posCond = if (pos.isEmpty) None
+        else if (pos.sizeIs == 1) Some(col(t) === pos.head)
+        else Some(col(t).isInCollection(pos))
+      val negCond = neg.map { v =>
+        val w = v.replace("! ", ""); col(t).isNotNull && col(t) =!= w
+      }.reduceOption(_ || _)
+      (posCond ++ negCond).reduce(_ || _)
+    }.reduceOption(_ || _)
+
+  /** First-match-wins as ONE flat CaseWhen (chained .when, null default):
+    * CaseWhen codegen splits its branches into methods, whereas a Coalesce
+    * of 154 single-branch CaseWhens blows the generated-code size. */
+  private def flatCase(branches: Seq[(Column, Column)]): Column =
+    branches.foldLeft(Option.empty[Column]) { case (acc, (c, v)) =>
+      Some(acc.fold(when(c, v))(_.when(c, v)))
+    }.getOrElse(lit(null))
+
+  /** getTypeValue (InputDataFormatting.groovy:1020-1049): key of the first
+    * matching rule, null when none match. */
+  def typeValue(rules: Seq[(String, Seq[(String, Seq[String])])], cols: Set[String]): Column =
+    flatCase(rules.flatMap { case (k, conds) =>
+      ruleCond(conds, cols).map(c => c -> lit(k))
+    }).cast("string")
+
+  /** getTypeAndUse (InputDataFormatting.groovy:851-894): (type, use) of the
+    * first matching rule as a struct, null when none match.
+    *
+    * Implemented as a precompiled per-row matcher over hashed value sets
+    * (NOT a 154-branch Catalyst CaseWhen: assembling that generated code is
+    * quadratic in branch count — measured ~50 s of driver time per
+    * execution — while this scan is a few hash probes per row with an O(1)
+    * plan). Takes the tag columns as one array; rules referencing absent
+    * tags are dropped at compile time, like the reference's
+    * columnNames.contains gate.
+    */
+  def typeAndUse(rules: Seq[(String, String, Seq[(String, Seq[String])])],
+                 cols: Set[String]): Column = {
+    // tag columns any surviving rule references, in first-appearance order
+    val tagCols: Seq[String] = rules.flatMap(_._3.collect {
+      case (t, vs) if cols(t) && vs.nonEmpty => t
+    }).distinct
+    val tagIdx = tagCols.zipWithIndex.toMap
+    // compiled rule: (type, use, conds as (tagIndex, positive set, negated values))
+    val compiled: Array[(String, String, Array[(Int, Set[String], Array[String])])] =
+      rules.iterator.map { case (t, u, conds) =>
+        val cs = conds.collect { case (tag, vs) if cols(tag) && vs.nonEmpty =>
+          val (neg, pos) = vs.partition(_.startsWith("!"))
+          (tagIdx(tag), pos.toSet, neg.map(_.replace("! ", "")).toArray)
+        }.toArray
+        (t, u, cs)
+      }.filter(_._3.nonEmpty).toArray
+    val matcher = udf { (tags: Seq[String]) =>
+      var out: (String, String) = null
+      var i = 0
+      while (out == null && i < compiled.length) {
+        val (t, u, conds) = compiled(i)
+        var j = 0
+        while (out == null && j < conds.length) {
+          val (ti, pos, negs) = conds(j)
+          val v = tags(ti)
+          if (v != null && (pos.contains(v) || negs.exists(v != _))) out = (t, u)
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }
+    if (compiled.isEmpty) lit(null).cast("struct<t:string,u:string>")
+    else matcher(array(tagCols.map(col): _*)).cast("struct<t:string,u:string>")
+  }
+
+  /** formatBuildingUse (InputDataFormatting.groovy:822-842): trimmed
+    * lowercased building:use matched against each use key or its synonym
+    * list (entry order wins); null when absent/unmatched. */
+  def buildingUseOverride(bu: Column): Column = {
+    val l = lower(trim(bu))
+    flatCase(OsmTagMaps.buildingUse.map { case (k, syns) =>
+      val cond = if (syns.isEmpty) l === k else l === k || l.isInCollection(syns)
+      cond -> lit(k)
+    }).cast("string")
+  }
+
+  /** getZIndex (InputDataFormatting.groovy:1009-1011): integer parse of the
+    * OSM `layer` tag, 0 when absent/unparseable. */
+  def zIndex(layer: Column): Column = coalesce(layer.try_cast("int"), lit(0))
+
+  /** getWidth (InputDataFormatting.groovy:1000-1002): float parse, 0 default. */
+  def width(w: Column): Column = coalesce(w.try_cast("double"), lit(0.0))
+
+  /** getSidewalk (InputDataFormatting.groovy:1060-1075): both→two,
+    * right/left/yes→one, anything else (incl. null)→no. */
+  def sidewalk(sw: Column): Column =
+    when(sw === "both", "two")
+      .when(sw.isin("right", "left", "yes"), "one")
+      .otherwise("no")
+
+  /** getSpeedInKmh (InputDataFormatting.groovy:1452-1469): anchored
+    * `([0-9]+)( ([a-zA-Z]+))?` — bare/kmh kept, mph×1.609 rounded
+    * half-up, anything else (incl. null / no full match) −1. */
+  def speedKmh(ms: Column): Column = {
+    val pat = "^([0-9]+)( ([a-zA-Z]+))?$"
+    val num = regexp_extract(ms, pat, 1).try_cast("int")
+    val unit = lower(regexp_extract(ms, pat, 3))
+    when(ms.isNull || num.isNull, lit(-1))
+      .when(unit === "", num)
+      .when(unit === "kmh", num)
+      .when(unit === "mph", round(num * 1.609).cast("int"))
+      .otherwise(lit(-1))
+  }
+
+  /** Dense ids per zone: per-zone ranks + #zones-row offsets (createTSU
+    * shape) — insertion-order SERIAL semantics without a global window. */
+  private def denseIds(df: DataFrame, zoneId: String, order: Seq[Column],
+                       out: String): DataFrame = {
+    val parts = df.localCheckpoint() // ranks + offsets both read it
+    val ranked = parts.withColumn("__rk",
+      row_number().over(Window.partitionBy(col(zoneId)).orderBy(order: _*)))
+    val offsets = parts.groupBy(col(zoneId)).agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col(zoneId)).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L))) // #zones rows only
+      .select(col(zoneId), col("__off"))
+    ranked.join(offsets, Seq(zoneId))
+      .withColumn(out, (col("__off") + col("__rk")).cast("int"))
+      .drop("__rk", "__off")
+  }
+
+  private def tagOf(cols: Set[String])(name: String): Column =
+    if (cols(name)) col(name) else lit(null).cast("string")
+
+  /**
+   * formatBuildingLayer (InputDataFormatting.groovy:62-320), zone branch:
+   * tag→(type, main_use) via the 154-entry hierarchy (undefined defaults),
+   * building:use override through the synonym table, height/level grammar +
+   * formatHeightsAndNbLevels repair with the per-type level map, zindex from
+   * `layer`; rows kept when nb_lev > 0 and zindex >= 0; geometry exploded to
+   * polygon parts with area > 1, normalized. Input needs `id` (source id),
+   * `the_geom` (polygonal WKB), a `zoneId` column, and any OSM tag columns.
+   * Output: the reference's building layer schema + an `estimated` flag (its
+   * side table BUILDING_ESTIMATE, :136-140).
+   */
+  def formatBuildingLayer(raw: DataFrame, zoneId: String,
+                          hLevMin: Double = 3.0): DataFrame = {
+    val cols = raw.columns.toSet
+    val tag = tagOf(cols) _
+    // Staged projections: each big CASE chain lands in its OWN column before
+    // anything references it, so later expressions see a cheap attribute —
+    // composing the raw Column trees would re-embed the 154-entry type chain
+    // once per level-map branch (~10^5 duplicated nodes: analysis-time OOM).
+    val staged = raw.select(col(zoneId), col("id").cast("string").as("id_source"),
+        col("the_geom"),
+        typeAndUse(OsmTagMaps.buildingType, cols).as("__tu"),
+        tag("building:use").as("__bu"),
+        OsmFormatting.heightRoof(tag("height")).as("__hr"),
+        tag("roof:height").as("__rht"),
+        OsmFormatting.nbLevels(tag("building:levels"), tag("roof:levels")).as("__nl"),
+        zIndex(tag("layer")).as("zindex"), tag("roof:shape").as("roof_shape"))
+      .select(col(zoneId), col("id_source"), col("the_geom"),
+        coalesce(col("__tu.t"), lit("undefined")).as("type"),
+        coalesce(buildingUseOverride(col("__bu")), col("__tu.u"), lit("undefined")).as("main_use"),
+        col("__hr"), OsmFormatting.heightWall(col("__hr"), col("__rht")).as("__hw"),
+        col("__nl"), col("zindex"), col("roof_shape"))
+      .withColumn("__fh", OsmFormatting.formatHeights(col("__hw"), col("__hr"),
+        col("__nl"), hLevMin, col("type"), OsmTagMaps.buildingLevel))
+    val kept = staged
+      .select(col(zoneId), col("id_source"), col("the_geom"), col("type"),
+        col("main_use"), col("__fh"), col("zindex"), col("roof_shape"))
+      .where(col("__fh.nb_lev") > 0 && col("zindex") >= 0)
+      .select(col(zoneId), col("id_source"),
+        posexplode(G.stExplode(col("the_geom"))).as(Seq("__part", "the_geom")),
+        col("__fh.height_wall").as("height_wall"),
+        col("__fh.height_roof").as("height_roof"),
+        col("__fh.nb_lev").as("nb_lev"),
+        col("type"), col("main_use"), col("zindex"), col("roof_shape"),
+        col("__fh.estimated").as("estimated"))
+      .where(G.stDimension(col("the_geom")) === 2 && G.stArea(col("the_geom")) > 1)
+      .withColumn("the_geom", G.stNormalize(col("the_geom")))
+    denseIds(kept, zoneId, Seq(col("id_source"), col("__part")), "id_build")
+      .select(col(zoneId), col("the_geom"), col("id_build"), col("id_source"),
+        col("height_wall"), col("height_roof"), col("nb_lev"),
+        col("type"), col("main_use"), col("zindex"), col("roof_shape"), col("estimated"))
+  }
+
+  /**
+   * formatRoadLayer (InputDataFormatting.groovy:323-482): drops area=yes /
+   * service-alley / agricultural-access rows; type (unclassified default)
+   * with per-type width defaults; crossing from bridge values (lifting
+   * zindex 0→1); surface rules + tracktype fallback; sidewalk / maxspeed /
+   * oneway-direction / tunnel / lanes; rows kept when zindex >= 0 and —
+   * for tracks — surface is in the paved set; geometry exploded to parts.
+   * Input needs `id`, `the_geom` (line WKB), a `zoneId` column, tag columns.
+   */
+  def formatRoadLayer(raw: DataFrame, zoneId: String): DataFrame = {
+    val cols = raw.columns.toSet
+    val tag = tagOf(cols) _
+    val dropped =
+      tag("area") === "yes" ||
+      tag("service").isin("parking_aisle", "alley", "slipway", "drive-through", "driveway") ||
+      tag("access").isin("agricultural", "forestry")
+    val typ = coalesce(typeValue(OsmTagMaps.roadType, cols), lit("unclassified"))
+    val w0 = width(tag("width"))
+    // flat CaseWhen (see OsmFormatting.formatHeights — nested otherwise
+    // chains make codegen quadratic in depth)
+    val wDefault = OsmTagMaps.roadWidth.foldLeft(Option.empty[Column]) {
+      case (acc, (t, d)) => Some(acc.fold(when(col("type") === t, d))(_.when(col("type") === t, d)))
+    }.getOrElse(lit(null)).cast("double")
+    val crossing = when(tag("bridge").isInCollection(OsmTagMaps.roadCrossingBridge), "bridge")
+      .otherwise(lit(null).cast("string"))
+    val surface0 = typeValue(OsmTagMaps.roadSurface, cols)
+    val surface = coalesce(surface0,
+      when(tag("tracktype") === "grade1", "compacted")
+        .when(tag("tracktype").isin("grade2", "grade3"), "gravel")
+        .when(tag("tracktype").isin("grade4", "grade5"), "ground"))
+    val z0 = zIndex(tag("layer"))
+    val kept = raw.where(!coalesce(dropped, lit(false)))
+      .select(col(zoneId), col("id").cast("string").as("id_source"), col("the_geom"),
+        typ.as("type"), w0.as("__w0"), crossing.as("crossing"), surface.as("surface"),
+        sidewalk(tag("sidewalk")).as("sidewalk"),
+        speedKmh(tag("maxspeed")).as("maxspeed"),
+        when(tag("oneway") === "yes", 1).otherwise(3).as("direction"),
+        when(tag("tunnel") === "yes", 1).otherwise(0).as("tunnel"),
+        tag("lanes").try_cast("int").as("lanes"),
+        // bridge crossing lifts an unset zindex to 1 (reference `!zIndex`)
+        when(z0 === 0 && crossing.isNotNull, 1).otherwise(z0).as("zindex"))
+      .withColumn("width",
+        when(col("__w0") <= 0 && wDefault.isNotNull, wDefault).otherwise(col("__w0")))
+      .where(col("zindex") >= 0 &&
+        (col("type") =!= "track" ||
+          col("surface").isin("unpaved", "asphalt", "paved", "cobblestone",
+            "metal", "concrete", "compacted")))
+      .select(col(zoneId), col("id_source"),
+        posexplode(G.stExplode(col("the_geom"))).as(Seq("__part", "the_geom")),
+        col("width"), col("type"), col("crossing"), col("surface"), col("sidewalk"),
+        col("maxspeed"), col("direction"), col("lanes"), col("zindex"), col("tunnel"))
+    denseIds(kept, zoneId, Seq(col("id_source"), col("__part")), "id_road")
+      .select(col(zoneId), col("the_geom"), col("id_road"), col("id_source"),
+        col("width"), col("type"), col("crossing"), col("surface"), col("sidewalk"),
+        col("maxspeed"), col("direction"), col("lanes"), col("zindex"), col("tunnel"))
+  }
+}
