@@ -3,18 +3,23 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.geom.{GeoFunctions => G}
-import graft.sources.{OsmLayers, OsmTagMaps}
+import graft.sources.{OsmAssembly, OsmLayers, OsmTagMaps}
 
 /**
  * Fifth query batch (round 3): OSM layer formatting (building + road type
- * mapping — InputDataFormatting.groovy:62-482). The tag→type CASE chains in
- * the DuckDB oracles are GENERATED from the same [[OsmTagMaps]] structures
- * the engine compiles to Catalyst (first-match-wins parity by
- * construction); heights use the analytic-per-tag-shape scheme of
- * `osm_format_heights` (Queries4). See "Oracle-exactness rules",
- * Queries.scala.
+ * mapping — InputDataFormatting.groovy:62-482), the sea/land mask
+ * (:1222-1474), and multipolygon relation assembly (osmtools
+ * Transform.groovy:384-622). The tag→type CASE chains in the DuckDB oracles
+ * are GENERATED from the same [[OsmTagMaps]] structures the engine compiles
+ * to Catalyst (first-match-wins parity by construction); heights use the
+ * analytic-per-tag-shape scheme of `osm_format_heights` (Queries4); the
+ * geometry scenes are axis-aligned with analytic areas. See
+ * "Oracle-exactness rules", Queries.scala.
  */
 object Queries5 {
+
+  private val grid = graft.index.CellGrid.fixture
+  private val Res = 8
 
   // ---- SQL emitters for the first-match-wins rule tables ------------------
 
@@ -130,8 +135,63 @@ object Queries5 {
         (d % 40) * 10, floor(d / 40) * 10, (d % 40) * 10 + 8, floor(d / 40) * 10)).as("the_geom"))
   }
 
+  // ---- synthetic multipolygon relations (node/way/member tables) ----------
+  // per doc r at offset (r%50*100, r/50*100): outer [0,20]² split into two
+  // ways (second reversed), r%3 holes of 2x2 at integer coords; relations
+  // with r%7==0 are tagged 'route' (not multipolygon) and must drop.
+  private def relScene(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val base = s.read.parquet(s"$dir/documents.parquet").select(
+      col("doc_id").cast("int").as("r"),
+      (col("doc_id") % 50 * 100).cast("double").as("ox"),
+      (floor(col("doc_id") / 50) * 100).cast("double").as("oy"),
+      (col("doc_id") % 3).cast("int").as("nh"),
+      (col("doc_id") % 7 =!= 0).as("mp"))
+    val relationTags = base.select(col("r").as("id_relation"), lit("type").as("tag_key"),
+      when(col("mp"), "multipolygon").otherwise("route").as("tag_value"))
+    val members = base.select(col("r"), explode(array(lit(0), lit(1))).as("w"))
+      .select(col("r").as("id_relation"), (col("r") * 100 + col("w")).as("id_way"),
+        lit("outer").as("role"), col("w").as("way_order"))
+      .unionByName(base
+        .select(col("r"), explode(slice(array(lit(0), lit(1)), lit(1), col("nh"))).as("k"))
+        .select(col("r").as("id_relation"), (col("r") * 100 + 10 + col("k")).as("id_way"),
+          lit("inner").as("role"), (col("k") + 2).as("way_order")))
+    def st3(t: Seq[(Int, Int, Int)]) =
+      array(t.map { case (a, b, c) =>
+        struct(lit(a).as("a"), lit(b).as("b"), lit(c).as("c")) }: _*)
+    // outer ways: way 0 = nodes 0,1,2; way 1 REVERSED = nodes 2,3,0
+    val wayNodes = base.select(col("r"),
+        explode(st3(Seq((0, 0, 0), (0, 1, 1), (0, 2, 2), (1, 0, 2), (1, 1, 3), (1, 2, 0)))).as("e"))
+      .select((col("r") * 100 + col("e.a")).as("way_id"), col("e.b").as("pos"),
+        (col("r") * 1000 + col("e.c")).as("node_id"))
+      .unionByName(base.select(col("r"), col("nh"),
+          explode(st3(for { k <- Seq(0, 1); j <- 0 to 4 }
+            yield (k, j, Seq(0, 1, 2, 3, 0)(j)))).as("e"))
+        .where(col("e.a") < col("nh"))
+        .select((col("r") * 100 + 10 + col("e.a")).as("way_id"), col("e.b").as("pos"),
+          (col("r") * 1000 + 10 + col("e.a") * 10 + col("e.c")).as("node_id")))
+    // nodes: outer corners + both holes' corners (unused ones are inert)
+    val nodes = base.select(col("r"), col("ox"), col("oy"),
+        explode(st3(Seq((0, 0, 0), (1, 20, 0), (2, 20, 20), (3, 0, 20)) ++
+          (for { k <- Seq(0, 1); (j, dx, dy) <- Seq((0, 0, 0), (1, 2, 0), (2, 2, 2), (3, 0, 2)) }
+            yield (10 + k * 10 + j, 2 + 6 * k + dx, 2 + dy)))).as("e"))
+      .select((col("r") * 1000 + col("e.a")).as("node_id"),
+        (col("ox") + col("e.b")).as("x"), (col("oy") + col("e.c")).as("y"))
+    (relationTags, members, wayNodes, nodes)
+  }
+
   // =========================================================================
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- multipolygon relation assembly: outer/inner roles, split/reversed
+    //    ways linemerged, holes punched (Transform.groovy:384-622) --------
+    "osm_relation_assembly" -> ((s, dir) => {
+      val (tags, members, wayNodes, nodes) = relScene(s, dir)
+      OsmAssembly.assembleRelations(tags, members, wayNodes, nodes)
+        .select(col("id_relation"), G.stArea(col("the_geom")).as("area"),
+          G.stHolesArea(col("the_geom")).as("holes_area"),
+          G.stPerimeter(col("the_geom")).as("perimeter"))
+        .orderBy("id_relation")
+    }),
 
     // -- formatBuildingLayer: tag->type/use hierarchy + levels + zindex
     //    (InputDataFormatting.groovy:62-320) ------------------------------
@@ -148,6 +208,33 @@ object Queries5 {
         .orderBy("id_build")
     }),
 
+    // -- formatSeaLandMask: coastline + inset zone + water linework
+    //    polygonized per zone; faces typed land/sea/water by point evidence
+    //    (InputDataFormatting.groovy:1222-1474). 10 zones, each the
+    //    SeaLandMaskSpec scene offset by zone*1000 in x: a pond (water), a
+    //    two-coastline sea strip with an untyped enclave, two land faces. --
+    "osm_sea_land_mask" -> ((s, dir) => {
+      val z = s.range(0, 10).select(col("id").cast("int").as("id_zone"),
+        (col("id") * 1000).cast("double").as("x0"))
+      val zone = z.select(col("id_zone"),
+        G.stMakeBox(col("x0"), lit(0.0), col("x0") + 300, lit(300.0)).as("the_geom"))
+      val coastline = z.select(col("id_zone"), lit("coastline").as("natural"),
+          G.stGeomFromWkt(format_string("LINESTRING(%.0f -10, %.0f 310)",
+            col("x0") + 100, col("x0") + 100)).as("the_geom"))
+        .unionByName(z.select(col("id_zone"), lit("coastline").as("natural"),
+          G.stGeomFromWkt(format_string("LINESTRING(%.0f 310, %.0f -10)",
+            col("x0") + 220, col("x0") + 220)).as("the_geom")))
+      val water = z.select(col("id_zone"), lit("water").as("type"),
+          G.stMakeBox(col("x0") + 20, lit(20.0), col("x0") + 60, lit(60.0)).as("the_geom"))
+        .unionByName(z.select(col("id_zone"), lit("sea").as("type"),
+          G.stMakeBox(col("x0") + 110, lit(20.0), col("x0") + 130, lit(40.0)).as("the_geom")))
+      OsmLayers.formatSeaLandMask(coastline, zone, Some(water), "id_zone", grid, Res)
+        .select(col("id_zone"), col("type"),
+          round(G.stArea(col("the_geom")), 6).as("area"),
+          round(G.stPerimeter(col("the_geom")), 6).as("perimeter"))
+        .orderBy("id_zone", "area")
+    }),
+
     // -- formatRoadLayer: type mapping, width defaults, crossing/surface/
     //    sidewalk/speed (InputDataFormatting.groovy:323-482) --------------
     "osm_format_road" -> ((s, dir) => {
@@ -160,6 +247,14 @@ object Queries5 {
 
   // =========================================================================
   val oracles: Map[String, String] = Map(
+
+    // integer-coordinate scene: shoelace sums are exact doubles, no rounding
+    "osm_relation_assembly" ->
+      """SELECT CAST(doc_id AS INT) AS id_relation,
+        |  CAST(400 - 4 * (doc_id % 3) AS DOUBLE) AS area,
+        |  CAST(4 * (doc_id % 3) AS DOUBLE) AS holes_area,
+        |  80.0 AS perimeter
+        |FROM documents WHERE doc_id % 7 <> 0 ORDER BY id_relation""".stripMargin,
 
     "osm_format_building" -> {
       val tagSql = Map("building" -> "bld", "amenity" -> "amen",
@@ -223,6 +318,23 @@ object Queries5 {
         |  nb_lev, zindex, rshape AS roof_shape, estimated
         |FROM kept ORDER BY id_build""".stripMargin
     },
+
+    // Analytic per-face expectations (axis-aligned scene; areas/perimeters
+    // from the same double products the engine's shoelace approximates to
+    // < 1e-8 — round 6 on both sides; perimeter = EXTERIOR ring only, like
+    // ST_PERIMETER). Per zone, ordered by area:
+    // sea-rect enclave (land, 400), pond (water, 1600), east strip (land),
+    // west ring minus pond (land), sea strip minus enclave (sea).
+    "osm_sea_land_mask" ->
+      """WITH z AS (SELECT CAST(range AS INT) AS id_zone FROM range(0, 10)),
+        |f(type, area, perimeter) AS (VALUES
+        |  ('land', 400.0, 80.0),
+        |  ('water', 1600.0, 160.0),
+        |  ('land', 79.99 * 299.98, 2 * (79.99 + 299.98)),
+        |  ('land', 99.99 * 299.98 - 1600, 2 * (99.99 + 299.98)),
+        |  ('sea', 120 * 299.98 - 400, 2 * (120 + 299.98)))
+        |SELECT id_zone, type, round(area, 6) AS area, round(perimeter, 6) AS perimeter
+        |FROM z CROSS JOIN f ORDER BY id_zone, area""".stripMargin,
 
     "osm_format_road" -> {
       val tagSql = Map("highway" -> "hwy", "width" -> "w", "surface" -> "surf",

@@ -26,7 +26,7 @@ import graft.geom.{Geo, GeoFunctions => G}
  */
 object SpatialUnits {
 
-  private val polygonizeUdf = udf { (gs: Seq[Array[Byte]]) =>
+  private[graft] val polygonizeUdf = udf { (gs: Seq[Array[Byte]]) =>
     val geoms = new java.util.ArrayList[Geometry](gs.size)
     gs.foreach(b => geoms.add(Geo.fromWkb(b)))
     val noded = UnaryUnionOp.union(geoms) // nodes + dissolves the linework

@@ -213,6 +213,105 @@ object OsmLayers {
         col("type"), col("main_use"), col("zindex"), col("roof_shape"), col("estimated"))
   }
 
+  /** LINEMERGE of a collected line set (H2GIS ST_LINEMERGE(ST_ACCUM(...))). */
+  private val lineMergeUdf = udf { (gs: Seq[Array[Byte]]) =>
+    val m = new org.locationtech.jts.operation.linemerge.LineMerger()
+    gs.foreach(b => m.add(graft.geom.Geo.fromWkb(b)))
+    import scala.jdk.CollectionConverters._
+    m.getMergedLineStrings.asScala.toArray.map(g =>
+      graft.geom.Geo.toWkb(g.asInstanceOf[org.locationtech.jts.geom.Geometry]))
+  }
+
+  /** ST_LocateAlong(geom, 0.5, -0.01) over exploded segments: each segment's
+    * midpoint offset 0.01 to the RIGHT of its direction (negative offset =
+    * right, like H2GIS/PostGIS; the sea side of a coastline drawn with land
+    * on the left, the OSM convention). */
+  private val segmentMidRightUdf = udf { (wkb: Array[Byte], offset: Double) =>
+    graft.geom.Geo.segments(graft.geom.Geo.fromWkb(wkb)).map { case (x1, y1, x2, y2) =>
+      val len = math.hypot(x2 - x1, y2 - y1)
+      val mx = (x1 + x2) / 2; val my = (y1 + y2) / 2
+      // left normal is (-dy, dx)/len; offset < 0 flips to the right side
+      (mx - (y2 - y1) / len * offset, my + (x2 - x1) / len * offset)
+    }
+  }
+
+  /**
+   * formatSeaLandMask (InputDataFormatting.groovy:1222-1474): coastline
+   * linework clipped to the zone, noded + polygonized with the 0.01-inset
+   * zone boundary (and the water layer's linework when given) into faces;
+   * each face typed by point evidence — 'sea' when it receives a coastline
+   * midpoint offset 0.01 to the seaward side, 'water' (overriding sea) when
+   * it contains the point-on-surface of a type='water' polygon, 'land'
+   * otherwise.
+   *
+   * The reference tessellates faces over 100 000 m² so its R-tree probes
+   * stay bounded (ST_Tesselate + per-triangle index); here the same
+   * bounding comes from the cell-equijoin + prepared-locator point joins,
+   * so faces are typed directly and never split/re-unioned. A zone with no
+   * coastline polygonizes to a single whole-zone 'land' face (the
+   * reference's no-water branch); its whole-zone-SEA fallback for a seaside
+   * zone with water-but-no-coastline data is a caller-level substitution of
+   * the WATER layer, not a mask output (InputDataFormatting.groovy:1345-1363).
+   * All per-zone geometry ops are keyed by `zoneId`; output ids are dense
+   * per zone over centroid order.
+   */
+  def formatSeaLandMask(coastline: DataFrame, zone: DataFrame,
+                        water: Option[DataFrame], zoneId: String,
+                        grid: graft.index.CellGrid, res: Int): DataFrame = {
+    import graft.operators.{SpatialJoin, SpatialUnits}
+    val z = zone.select(col(zoneId), col("the_geom").as("__zg"))
+    def clipTo(df: DataFrame, zg: String): DataFrame = df
+      .where(G.stIntersects(col(zg), col("the_geom")))
+      .select(col(zoneId),
+        when(G.stContains(col(zg), col("the_geom")), col("the_geom"))
+          .otherwise(G.stIntersection(col("the_geom"), col(zg))).as("the_geom"))
+    val coast = clipTo(
+      coastline.where(col("natural") === "coastline").join(z, Seq(zoneId)), "__zg")
+      .localCheckpoint() // feeds the mesh AND the islands/sea-point branch
+    val reduced = z.select(col(zoneId), G.stBufferQuad(col("__zg"), lit(-0.01), lit(2)).as("__rg"))
+    // mesh: coastlines + inset zone boundary + water linework, noded +
+    // polygonized PER ZONE (sea_land_mask CTE; faces typed 'land' initially)
+    val meshLines = coast
+      .unionByName(reduced.select(col(zoneId), G.stToMultiLine(col("__rg")).as("the_geom")))
+      .unionByName(water.map(_.select(col(zoneId), G.stToMultiLine(col("the_geom")).as("the_geom")))
+        .getOrElse(coast.limit(0)))
+    val faces = denseIds(
+      meshLines.groupBy(col(zoneId))
+        .agg(collect_list(col("the_geom")).as("__gs"))
+        .select(col(zoneId), explode(SpatialUnits.polygonizeUdf(col("__gs"))).as("the_geom"))
+        .where(G.stDimension(col("the_geom")) === 2 && G.stArea(col("the_geom")) > 0),
+      zoneId, Seq(G.stX(G.stCentroid(col("the_geom"))),
+        G.stY(G.stCentroid(col("the_geom")))), "id")
+      .localCheckpoint() // faces probed by two point joins + the final type join
+    // islands: merged coastline strands; their in-zone segment midpoints
+    // offset to the seaward side are the 'sea' evidence points
+    val islands = coast.groupBy(col(zoneId))
+      .agg(collect_list(col("the_geom")).as("__gs"))
+      .select(col(zoneId), explode(lineMergeUdf(col("__gs"))).as("the_geom"))
+    val seaPts = clipTo(islands.join(reduced, Seq(zoneId)), "__rg")
+      .select(col(zoneId), explode(segmentMidRightUdf(col("the_geom"), lit(-0.01))).as("__p"))
+      .select(col(zoneId), col("__p._1").as("__px"), col("__p._2").as("__py"))
+    val waterPts = water.map(_.where(col("type") === "water")
+      .select(col(zoneId), G.stPointOnSurf(col("the_geom")).as("__pos"))
+      .select(col(zoneId), G.stX(col("__pos")).as("__px"), G.stY(col("__pos")).as("__py")))
+    // face ids receiving at least one evidence point (same-zone only)
+    def faceIdsWith(pts: DataFrame): DataFrame =
+      SpatialJoin.pointInPolygon(pts.withColumnRenamed(zoneId, "__pz"), "__px", "__py",
+          faces, "the_geom", grid, res)
+        .where(col("__pz") === col(zoneId))
+        .select(col(zoneId), col("id")).dropDuplicates(zoneId, "id")
+    val seaFaces = faceIdsWith(seaPts).withColumn("__sea", lit(true))
+    val waterFaces = waterPts.map(p => faceIdsWith(p).withColumn("__water", lit(true)))
+    val typed0 = faces.join(seaFaces, Seq(zoneId, "id"), "left")
+    val typed = waterFaces.fold(typed0.withColumn("__water", lit(false)))(
+      typed0.join(_, Seq(zoneId, "id"), "left"))
+    typed.select(col(zoneId), col("id"), col("the_geom"),
+      when(coalesce(col("__water"), lit(false)), "water")
+        .when(coalesce(col("__sea"), lit(false)), "sea")
+        .otherwise("land").as("type"),
+      lit(0).as("zindex"))
+  }
+
   /**
    * formatRoadLayer (InputDataFormatting.groovy:323-482): drops area=yes /
    * service-alley / agricultural-access rows; type (unclassified default)
