@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.geom.{GeoFunctions => G}
+import graft.operators.Tiling
 import graft.sources.{OsmAssembly, OsmLayers, OsmTagMaps}
 
 /**
@@ -208,6 +209,75 @@ object Queries5 {
         .orderBy("id_build")
     }),
 
+    // -- RF TRAINING + apply parity (TypologyClassification.groovy:555-650):
+    //    the distributed CART trainer learns an exactly-learnable step rule
+    //    (pure integer regions) and a piecewise-constant regression target;
+    //    predictions on in-region points must equal the generating rule,
+    //    which is what the oracle evaluates. -----------------------------
+    "rf_train_apply" -> ((s, dir) => {
+      val trainGrid = s.range(0, 1024).select(
+        (col("id") % 16 + 1).cast("double").as("x1"),
+        (floor(col("id") / 16) % 8 + 1).cast("double").as("x2"),
+        (floor(col("id") / 128) + 1).cast("double").as("x3"), // noise feature
+        when(col("id") % 16 + 1 > 8, 2)
+          .when(floor(col("id") / 16) % 8 + 1 > 4, 1).otherwise(0).as("y"),
+        ((col("id") % 16 + 1) * 10 + (floor(col("id") / 16) % 8 + 1)).cast("double").as("yr"))
+      val cls = graft.ml.RandomForestTrainer.train(trainGrid, Seq("x1", "x2", "x3"), "y",
+        numTrees = 3, maxDepth = 4, numClasses = 3)
+      val reg = graft.ml.RandomForestTrainer.train(trainGrid, Seq("x1", "x2"), "yr",
+        numTrees = 1, maxDepth = 8, numClasses = 0)
+      val d = col("doc_id")
+      val eval = s.read.parquet(s"$dir/documents.parquet").select(d.as("doc_id"),
+        (d % 16 + 1).cast("double").as("x1"),
+        (d % 8 + 1).cast("double").as("x2"),
+        (d % 5 + 1).cast("double").as("x3"))
+      val feats = Map("x1" -> col("x1"), "x2" -> col("x2"), "x3" -> col("x3"))
+      val votes = graft.ml.RandomForest.classifyVoteColumns(cls, feats, 3)
+      eval.select(col("doc_id"),
+          graft.ml.RandomForest.argmaxColumn(votes, Seq("0", "1", "2")).cast("int").as("pred_class"),
+          graft.ml.RandomForest.regressColumn(reg, feats).as("pred_value"))
+        .orderBy("doc_id")
+    }),
+
+    // -- asc raster sink byte-golden: write the ESRI ASCII grid, hash the
+    //    bytes; the oracle rebuilds the EXACT text (values are k/8 — exact
+    //    at 3 decimals, so HALF_UP and printf agree) ----------------------
+    "sink_asc" -> ((s, dir) => {
+      import s.implicits._
+      val d = col("doc_id")
+      val cells = s.read.parquet(s"$dir/documents.parquet").where(d < 20).select(
+        (d % 5 + 1).cast("int").as("id_col"),
+        (floor(d / 5) + 1).cast("int").as("id_row"),
+        ((d * 7 % 32).cast("double") / 8).as("v"))
+      val path = java.nio.file.Files.createTempFile("graft_sink", ".asc")
+      Tiling.writeAsc(cells, "v", path.toString, 0.0, 0.0, 10.0, nCols = 5, nRows = 4)
+      val bytes = java.nio.file.Files.readAllBytes(path)
+      java.nio.file.Files.delete(path)
+      val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+      Seq((bytes.length.toLong, md5)).toDF("n_bytes", "md5")
+    }),
+
+    // -- GeoJSON sink byte-golden: write the FeatureCollection (points +
+    //    escaped string props), hash the bytes; the oracle rebuilds the
+    //    exact text (double->string renderings agree for d.5/d.0 values) --
+    "sink_geojson" -> ((s, dir) => {
+      import s.implicits._
+      val d = col("doc_id")
+      val rows = s.read.parquet(s"$dir/documents.parquet").where(d < 25).select(
+        d.cast("int").as("id"),
+        concat(lit("q\""), d.cast("string")).as("name"),
+        G.stPoint((d % 10).cast("double") * 2.5, d.cast("double") * 1.5).as("the_geom"))
+        .orderBy("id")
+      val path = java.nio.file.Files.createTempFile("graft_sink", ".geojson")
+      graft.lake.Sinks.writeGeoJson(rows, "the_geom", path.toString)
+      val bytes = java.nio.file.Files.readAllBytes(path)
+      java.nio.file.Files.delete(path)
+      val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+      Seq((25, bytes.length.toLong, md5)).toDF("n_features", "n_bytes", "md5")
+    }),
+
     // -- formatSeaLandMask: coastline + inset zone + water linework
     //    polygonized per zone; faces typed land/sea/water by point evidence
     //    (InputDataFormatting.groovy:1222-1474). 10 zones, each the
@@ -247,6 +317,46 @@ object Queries5 {
 
   // =========================================================================
   val oracles: Map[String, String] = Map(
+
+    // the generating rule the trainer must recover exactly on in-region
+    // evaluation points (integer features -> exact split statistics)
+    "rf_train_apply" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 16 + 1 > 8 THEN 2
+        |    WHEN doc_id % 8 + 1 > 4 THEN 1 ELSE 0 END AS INT) AS pred_class,
+        |  CAST((doc_id % 16 + 1) * 10 + (doc_id % 8 + 1) AS DOUBLE) AS pred_value
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // byte-exact replica of Tiling.writeAsc: header, then rows top-down,
+    // each value 3-decimal fixed + one trailing space, newline per row
+    "sink_asc" ->
+      """WITH cells AS (SELECT CAST(doc_id % 5 + 1 AS INT) AS c,
+        |    CAST(doc_id // 5 + 1 AS INT) AS r,
+        |    CAST(doc_id * 7 % 32 AS DOUBLE) / 8 AS v
+        |  FROM documents WHERE doc_id < 20),
+        |lines AS (SELECT r, string_agg(printf('%.3f', v) || ' ', '' ORDER BY c) AS line
+        |  FROM cells GROUP BY r),
+        |body AS (SELECT string_agg(line || chr(10), '' ORDER BY r DESC) AS b FROM lines),
+        |txt AS (SELECT 'ncols 5' || chr(10) || 'nrows 4' || chr(10) ||
+        |    'xllcorner 0.0' || chr(10) || 'yllcorner 0.0' || chr(10) ||
+        |    'cellsize 10.0' || chr(10) || 'nodata_value -9999' || chr(10) || b AS t
+        |  FROM body)
+        |SELECT CAST(length(t) AS BIGINT) AS n_bytes, md5(t) AS md5 FROM txt""".stripMargin,
+
+    // byte-exact replica of Sinks.writeGeoJson for the point scene: Scala
+    // Double.toString and DuckDB's double->VARCHAR agree on d.0/d.5 values
+    "sink_geojson" ->
+      """WITH f AS (SELECT doc_id AS id,
+        |    '{"type":"Feature","geometry":{"type":"Point","coordinates":[' ||
+        |    CAST(CAST(doc_id % 10 AS DOUBLE) * 2.5 AS VARCHAR) || ',' ||
+        |    CAST(CAST(doc_id AS DOUBLE) * 1.5 AS VARCHAR) ||
+        |    ']},"properties":{"id":' || CAST(doc_id AS VARCHAR) ||
+        |    ',"name":"q' || chr(92) || chr(34) || CAST(doc_id AS VARCHAR) || '"}}' AS feat
+        |  FROM documents WHERE doc_id < 25),
+        |txt AS (SELECT '{"type":"FeatureCollection","features":[' ||
+        |    string_agg(feat, ',' ORDER BY id) || ']}' AS t FROM f)
+        |SELECT CAST(25 AS INT) AS n_features, CAST(length(t) AS BIGINT) AS n_bytes,
+        |  md5(t) AS md5 FROM txt""".stripMargin,
 
     // integer-coordinate scene: shoelace sums are exact doubles, no rounding
     "osm_relation_assembly" ->

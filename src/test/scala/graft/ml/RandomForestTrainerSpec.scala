@@ -1,0 +1,57 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Distributed CART training: the trained forest must recover an exactly
+  * learnable step rule (pure regions, integer features → exact split
+  * statistics), through the SAME apply path as the reference models. */
+class RandomForestTrainerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // label rule: x1 > 8 -> 2 ; else x2 > 4 -> 1 ; else 0
+  private def grid = spark.range(0, 1024).select(
+    (col("id") % 16 + 1).cast("double").as("x1"),
+    (floor(col("id") / 16) % 8 + 1).cast("double").as("x2"),
+    (floor(col("id") / 128) + 1).cast("double").as("x3"), // noise feature
+    when(col("id") % 16 + 1 > 8, 2)
+      .when(floor(col("id") / 16) % 8 + 1 > 4, 1).otherwise(0).as("y"),
+    ((col("id") % 16 + 1) * 10 + (floor(col("id") / 16) % 8 + 1)).cast("double").as("yr"))
+
+  test("classification recovers the generating rule exactly") {
+    val forest = RandomForestTrainer.train(grid, Seq("x1", "x2", "x3"), "y",
+      numTrees = 3, maxDepth = 4, numClasses = 3)
+    assert(forest.trees.size == 3)
+    val feats = Map("x1" -> col("x1"), "x2" -> col("x2"), "x3" -> col("x3"))
+    val votes = RandomForest.classifyVoteColumns(forest, feats, 3)
+    val pred = RandomForest.argmaxColumn(votes, Seq("0", "1", "2")).cast("int")
+    val wrong = grid.where(pred =!= col("y")).count()
+    assert(wrong == 0)
+  }
+
+  test("bagging + mtry forest still classifies the pure regions") {
+    val forest = RandomForestTrainer.train(grid, Seq("x1", "x2", "x3"), "y",
+      numTrees = 7, maxDepth = 5, numClasses = 3, subsample = 0.7, mtry = 2, seed = 7L)
+    val feats = Map("x1" -> col("x1"), "x2" -> col("x2"), "x3" -> col("x3"))
+    val votes = RandomForest.classifyVoteColumns(forest, feats, 3)
+    val pred = RandomForest.argmaxColumn(votes, Seq("0", "1", "2")).cast("int")
+    // majority over 7 bagged trees: allow a thin error margin at region edges
+    assert(grid.where(pred =!= col("y")).count() <= 16)
+  }
+
+  test("regression: deep tree reproduces the piecewise-constant target") {
+    // yr has 128 distinct values over an 16x8 grid -> depth 7 isolates them
+    val forest = RandomForestTrainer.train(grid, Seq("x1", "x2"), "yr",
+      numTrees = 1, maxDepth = 8, numClasses = 0)
+    val feats = Map("x1" -> col("x1"), "x2" -> col("x2"))
+    val pred = RandomForest.regressColumn(forest, feats)
+    val maxErr = grid.select(max(abs(pred - col("yr")))).head().getDouble(0)
+    assert(maxErr == 0.0) // integer-valued target: statistics are exact
+  }
+
+  test("determinism: same seed -> identical forest") {
+    def f() = RandomForestTrainer.train(grid, Seq("x1", "x2", "x3"), "y",
+      numTrees = 2, maxDepth = 3, numClasses = 3, subsample = 0.8, mtry = 2, seed = 5L)
+    assert(f() == f())
+  }
+}
