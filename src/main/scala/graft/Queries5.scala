@@ -209,6 +209,45 @@ object Queries5 {
         .orderBy("id_build")
     }),
 
+    // -- OSM XML end-to-end: the relScene encoded as <osm> documents, parsed
+    //    by from_xml into node/way/relation tables (InputDataLoading
+    //    createGISLayers envelope), then assembled into polygons-with-holes.
+    //    Same analytic expectations as osm_relation_assembly. -------------
+    "osm_xml_relations" -> ((s, dir) => {
+      val d = col("doc_id")
+      def nd(local: Int, dx: Int, dy: Int) = format_string(
+        s"""<node id="%d" lat="%s" lon="%s"/>""",
+        d * 1000 + local, (floor(d / 50) * 100).cast("double") + dy,
+        (d % 50 * 100).cast("double") + dx)
+      def holeNd(k: Int) = concat(Seq((0, 0, 0), (1, 2, 0), (2, 2, 2), (3, 0, 2)).map {
+        case (j, dx, dy) => nd(10 + k * 10 + j, 2 + 6 * k + dx, 2 + dy) }: _*)
+      def way(local: Int, nodeLocals: Seq[Int]) = format_string(
+        s"""<way id="%d">${nodeLocals.map(_ => """<nd ref="%d"/>""").mkString}</way>""",
+        (d * 100 + local) +: nodeLocals.map(n => d * 1000 + n): _*)
+      def holeWay(k: Int) =
+        when(d % 3 > k, way(10 + k, Seq(0, 1, 2, 3, 0).map(_ + 10 + k * 10))).otherwise("")
+      val rel = concat(
+        format_string("""<relation id="%d">""", d),
+        format_string("""<member type="way" ref="%d" role="outer"/>""", d * 100),
+        format_string("""<member type="way" ref="%d" role="outer"/>""", d * 100 + 1),
+        when(d % 3 > 0, format_string("""<member type="way" ref="%d" role="inner"/>""", d * 100 + 10)).otherwise(""),
+        when(d % 3 > 1, format_string("""<member type="way" ref="%d" role="inner"/>""", d * 100 + 11)).otherwise(""),
+        when(d % 7 =!= 0, lit("""<tag k="type" v="multipolygon"/>"""))
+          .otherwise(lit("""<tag k="type" v="route"/>""")),
+        lit("</relation>"))
+      val xml = s.read.parquet(s"$dir/documents.parquet").select(concat(
+        lit("<osm>"), nd(0, 0, 0), nd(1, 20, 0), nd(2, 20, 20), nd(3, 0, 20),
+        holeNd(0), holeNd(1),
+        way(0, Seq(0, 1, 2)), way(1, Seq(2, 3, 0)), holeWay(0), holeWay(1),
+        rel, lit("</osm>")).as("xml"))
+      val t = graft.sources.OsmXml.parse(xml, "xml")
+      OsmAssembly.assembleRelations(t.relationTags, t.relationMembers, t.wayNodes, t.nodes)
+        .select(col("id_relation"), G.stArea(col("the_geom")).as("area"),
+          G.stHolesArea(col("the_geom")).as("holes_area"),
+          G.stPerimeter(col("the_geom")).as("perimeter"))
+        .orderBy("id_relation")
+    }),
+
     // -- RF TRAINING + apply parity (TypologyClassification.groovy:555-650):
     //    the distributed CART trainer learns an exactly-learnable step rule
     //    (pure integer regions) and a piecewise-constant regression target;
@@ -221,11 +260,15 @@ object Queries5 {
         (floor(col("id") / 128) + 1).cast("double").as("x3"), // noise feature
         when(col("id") % 16 + 1 > 8, 2)
           .when(floor(col("id") / 16) % 8 + 1 > 4, 1).otherwise(0).as("y"),
-        ((col("id") % 16 + 1) * 10 + (floor(col("id") / 16) % 8 + 1)).cast("double").as("yr"))
+        // 32 distinct piecewise-constant values: depth 6 isolates them, and
+        // the compiled tree stays under the 64KB codegen method limit (a
+        // depth-8/128-leaf tree falls back to interpreted evaluation)
+        ((col("id") % 16 + 1) * 10 +
+          when(floor(col("id") / 16) % 8 + 1 > 4, 5).otherwise(0)).cast("double").as("yr"))
       val cls = graft.ml.RandomForestTrainer.train(trainGrid, Seq("x1", "x2", "x3"), "y",
         numTrees = 3, maxDepth = 4, numClasses = 3)
       val reg = graft.ml.RandomForestTrainer.train(trainGrid, Seq("x1", "x2"), "yr",
-        numTrees = 1, maxDepth = 8, numClasses = 0)
+        numTrees = 1, maxDepth = 6, numClasses = 0)
       val d = col("doc_id")
       val eval = s.read.parquet(s"$dir/documents.parquet").select(d.as("doc_id"),
         (d % 16 + 1).cast("double").as("x1"),
@@ -318,13 +361,23 @@ object Queries5 {
   // =========================================================================
   val oracles: Map[String, String] = Map(
 
+    // same scene as osm_relation_assembly, arriving via the XML envelope
+    // (from_xml ids parse as BIGINT)
+    "osm_xml_relations" ->
+      """SELECT doc_id AS id_relation,
+        |  CAST(400 - 4 * (doc_id % 3) AS DOUBLE) AS area,
+        |  CAST(4 * (doc_id % 3) AS DOUBLE) AS holes_area,
+        |  80.0 AS perimeter
+        |FROM documents WHERE doc_id % 7 <> 0 ORDER BY id_relation""".stripMargin,
+
     // the generating rule the trainer must recover exactly on in-region
     // evaluation points (integer features -> exact split statistics)
     "rf_train_apply" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN doc_id % 16 + 1 > 8 THEN 2
         |    WHEN doc_id % 8 + 1 > 4 THEN 1 ELSE 0 END AS INT) AS pred_class,
-        |  CAST((doc_id % 16 + 1) * 10 + (doc_id % 8 + 1) AS DOUBLE) AS pred_value
+        |  CAST((doc_id % 16 + 1) * 10 +
+        |    (CASE WHEN doc_id % 8 + 1 > 4 THEN 5 ELSE 0 END) AS DOUBLE) AS pred_value
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // byte-exact replica of Tiling.writeAsc: header, then rows top-down,
