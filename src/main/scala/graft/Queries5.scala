@@ -136,6 +136,73 @@ object Queries5 {
         (d % 40) * 10, floor(d / 40) * 10, (d % 40) * 10 + 8, floor(d / 40) * 10)).as("the_geom"))
   }
 
+  // NOTE: these sets mirror the SYNTHETIC columns exactly (no "service"):
+  // both the engine (raw.columns) and the oracle emitter must skip the same
+  // rules, or a rule over an absent column would fire on one side only
+  private val RailCols = Set("highspeed", "railway", "tunnel",
+    "layer", "bridge", "gauge", "usage")
+  private def rawRails(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    s.read.parquet(s"$dir/documents.parquet").select(
+      d.as("id"),
+      element_at(lit(Array("rail", "subway", "tram", "disused", "abandoned")),
+        (d % 5).cast("int") + 1).as("railway"),
+      when(d % 13 === 0, "yes").otherwise(lit(null).cast("string")).as("highspeed"),
+      when(d % 6 === 0, "no").when(d % 6 === 1, "yes")
+        .otherwise(lit(null).cast("string")).as("tunnel"),
+      when(d % 7 === 0, "yes").when(d % 7 === 1, "viaduct").when(d % 7 === 2, "movable")
+        .otherwise(lit(null).cast("string")).as("bridge"),
+      when(d % 9 === 0, "-1").when(d % 9 === 1, "1")
+        .otherwise(lit(null).cast("string")).as("layer"),
+      when(d % 5 === 0, "1435").when(d % 5 === 1, "1000").when(d % 5 === 2, "wat")
+        .otherwise(lit(null).cast("string")).as("gauge"),
+      when(d % 4 === 0, "main").otherwise(lit(null).cast("string")).as("usage"),
+      (d % 3).cast("int").as("id_zone"),
+      G.stGeomFromWkt(format_string("LINESTRING(%d %d, %d %d)",
+        (d % 40) * 10, floor(d / 40) * 10, (d % 40) * 10 + 8, floor(d / 40) * 10)).as("the_geom"))
+  }
+
+  private val VegCols = Set("natural", "landuse", "landcover", "leisure",
+    "sport", "surface", "vineyard", "layer")
+  private def rawVeget(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    s.read.parquet(s"$dir/documents.parquet").select(
+      d.as("id"),
+      element_at(lit(Array[String](null, "wood", "scrub", "grassland", "wetland")),
+        (d % 5).cast("int") + 1).as("natural"),
+      element_at(lit(Array[String](null, "farmland", "meadow", "forest", "vineyard", "residential")),
+        (d % 6).cast("int") + 1).as("landuse"),
+      when(d % 10 === 0, "trees").otherwise(lit(null).cast("string")).as("landcover"),
+      when(d % 11 === 0, "pitch").when(d % 11 === 1, "park")
+        .otherwise(lit(null).cast("string")).as("leisure"),
+      when(d % 13 === 0, "golf").when(d % 13 === 1, "tennis")
+        .otherwise(lit(null).cast("string")).as("sport"),
+      when(d % 17 === 0, "grass").when(d % 17 === 1, "asphalt")
+        .otherwise(lit(null).cast("string")).as("surface"),
+      when(d % 19 === 0, "terraced").when(d % 19 === 1, "no")
+        .otherwise(lit(null).cast("string")).as("vineyard"),
+      when(d % 9 === 0, "1").otherwise(lit(null).cast("string")).as("layer"),
+      (d % 3).cast("int").as("id_zone"),
+      G.stMakeBox((d % 40).cast("double") * 10, floor(d / 40).cast("double") * 10,
+        (d % 40).cast("double") * 10 + 4, floor(d / 40).cast("double") * 10 + 4).as("the_geom"))
+  }
+
+  private def rawWater(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    s.read.parquet(s"$dir/documents.parquet").select(
+      d.as("id"),
+      element_at(lit(Array[String](null, "water", "bay", "strait")),
+        (d % 4).cast("int") + 1).as("natural"),
+      when(d % 5 === 0, "yes").when(d % 5 === 1, "no")
+        .otherwise(lit(null).cast("string")).as("intermittent"),
+      when(d % 7 === 0, "harbour").when(d % 7 === 1, "mooring")
+        .otherwise(lit(null).cast("string")).as("seamark:type"),
+      when(d % 9 === 0, "-1").otherwise(lit(null).cast("string")).as("layer"),
+      (d % 3).cast("int").as("id_zone"),
+      G.stMakeBox((d % 40).cast("double") * 10, floor(d / 40).cast("double") * 10,
+        (d % 40).cast("double") * 10 + 4, floor(d / 40).cast("double") * 10 + 4).as("the_geom"))
+  }
+
   // ---- synthetic multipolygon relations (node/way/member tables) ----------
   // per doc r at offset (r%50*100, r/50*100): outer [0,20]² split into two
   // ways (second reversed), r%3 holes of 2x2 at integer coords; relations
@@ -207,6 +274,88 @@ object Queries5 {
           round(col("height_roof"), 6).as("height_roof"),
           col("nb_lev"), col("zindex"), col("roof_shape"), col("estimated"))
         .orderBy("id_build")
+    }),
+
+    // -- formatRailsLayer: rail types, subway gate, gauge width
+    //    (InputDataFormatting.groovy:484-563) ----------------------------
+    "osm_format_rail" -> ((s, dir) => {
+      OsmLayers.formatRailsLayer(rawRails(s, dir).localCheckpoint(), "id_zone")
+        .select(col("id_rail"), col("id_source"), col("type"), col("crossing"),
+          col("zindex"), col("width"), col("usage"))
+        .orderBy("id_rail")
+    }),
+
+    // -- formatVegetationLayer: type rules, pitch/sport + surface gates,
+    //    height classes (InputDataFormatting.groovy:578-649) -------------
+    "osm_format_veget" -> ((s, dir) => {
+      OsmLayers.formatVegetationLayer(rawVeget(s, dir).localCheckpoint(), "id_zone")
+        .select(col("id_veget"), col("id_source"), col("type"),
+          col("height_class"), col("zindex"))
+        .orderBy("id_veget")
+    }),
+
+    // -- formatWaterLayer: seamark harbour filter, bay/strait -> sea,
+    //    intermittent flag (InputDataFormatting.groovy:660-715) ----------
+    "osm_format_water" -> ((s, dir) => {
+      OsmLayers.formatWaterLayer(rawWater(s, dir).localCheckpoint(), "id_zone")
+        .select(col("id_water"), col("id_source"), col("type"),
+          col("intermittent"), col("zindex"))
+        .orderBy("id_water")
+    }),
+
+    // -- formatUrbanAreasLayer: tag->type, per-type union, overlaps removed
+    //    (larger minus smaller), contained areas punched as holes
+    //    (InputDataFormatting.groovy:1127-1215 + DataUtils removeOverlaps/
+    //    withinToHoles). 10 zones, each: residential [0,100]² + disjoint
+    //    [200,220]x[0,20]; commercial [80,140]x[0,60] overlapping it;
+    //    industrial [20,40]² inside it; one building-tagged row skipped. --
+    "osm_format_urban" -> ((s, dir) => {
+      val z = s.range(0, 10).select(col("id").cast("int").as("id_zone"),
+        (col("id") * 1000).cast("double").as("x0"))
+      def rect(dx0: Double, dy0: Double, dx1: Double, dy1: Double, lu: String, bld: String) =
+        z.select(col("id_zone"), lit(lu).as("landuse"),
+          (if (bld == null) lit(null).cast("string") else lit(bld)).as("building"),
+          lit(null).cast("string").as("construction"),
+          G.stMakeBox(col("x0") + dx0, lit(dy0), col("x0") + dx1, lit(dy1)).as("the_geom"))
+      val raw = rect(0, 0, 100, 100, "residential", null)
+        .unionByName(rect(200, 0, 220, 20, "residential", null))
+        .unionByName(rect(80, 0, 140, 60, "commercial", null))
+        .unionByName(rect(20, 20, 40, 40, "industrial", null))
+        .unionByName(rect(300, 0, 310, 10, "residential", "yes")) // building tag -> skipped
+      OsmLayers.formatUrbanAreasLayer(raw, "id_zone", grid, Res)
+        .select(col("id_zone"), col("type"),
+          round(G.stArea(col("the_geom")), 6).as("area"),
+          round(G.stHolesArea(col("the_geom")), 6).as("holes_area"))
+        .orderBy("id_zone", "type", "area")
+    }),
+
+    // -- formatImperviousLayer: noded overlay faces attributed to the
+    //    largest containing polygon, typed, unioned per type
+    //    (InputDataFormatting.groovy:768-815). 10 zones, each: parking rect
+    //    A [0,60]², sport (pitch) rect B [40,100]x[0,40] overlapping it
+    //    (A wins the shared face by area, so parking reunifies to A),
+    //    a disjoint power plant, one filtered-out row, one area<=1 face. --
+    "osm_format_impervious" -> ((s, dir) => {
+      val z = s.range(0, 10).select(col("id").cast("int").as("id_zone"),
+        (col("id") * 1000).cast("double").as("x0"))
+      def row(dx0: Double, dy0: Double, dx1: Double, dy1: Double,
+              amenity: String, leisure: String, power: String,
+              surface: String, parking: String, building: String) = {
+        def lt(v: String) = if (v == null) lit(null).cast("string") else lit(v)
+        z.select(col("id_zone"), lt(amenity).as("amenity"), lt(leisure).as("leisure"),
+          lt(power).as("power"), lt(surface).as("surface"), lt(parking).as("parking"),
+          lt(building).as("building"),
+          G.stMakeBox(col("x0") + dx0, lit(dy0), col("x0") + dx1, lit(dy1)).as("the_geom"))
+      }
+      val raw = row(0, 0, 60, 60, "parking", null, null, null, null, null)
+        .unionByName(row(40, 0, 100, 40, null, "pitch", null, null, null, null))
+        .unionByName(row(200, 200, 220, 220, null, null, "plant", null, null, null))
+        .unionByName(row(300, 0, 320, 20, null, null, "plant", "grass", "underground", "yes"))
+        .unionByName(row(400, 0, 401, 1, "parking", null, null, null, null, null))
+      OsmLayers.formatImperviousLayer(raw, "id_zone", grid, Res)
+        .select(col("id_zone"), col("type"),
+          round(G.stArea(col("the_geom")), 6).as("area"))
+        .orderBy("id_zone", "type")
     }),
 
     // -- OSM XML end-to-end: the relScene encoded as <osm> documents, parsed
@@ -360,6 +509,111 @@ object Queries5 {
 
   // =========================================================================
   val oracles: Map[String, String] = Map(
+
+    "osm_format_rail" -> {
+      val tagSql = Map("highspeed" -> "hs", "railway" -> "railway",
+        "tunnel" -> "tun", "layer" -> "lyr", "bridge" -> "br",
+        "gauge" -> "gau", "usage" -> "usg")
+      val typeCase = caseSql(OsmTagMaps.railType, RailCols, tagSql)
+      val bridgeList = OsmTagMaps.railCrossingBridge.map(sq).mkString("(", ", ", ")")
+      s"""WITH raw AS (SELECT doc_id AS id,
+        |    ['rail','subway','tram','disused','abandoned'][CAST(doc_id % 5 AS INT) + 1] AS railway,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'yes' ELSE NULL END AS hs,
+        |    CASE WHEN doc_id % 6 = 0 THEN 'no' WHEN doc_id % 6 = 1 THEN 'yes' ELSE NULL END AS tun,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'yes' WHEN doc_id % 7 = 1 THEN 'viaduct'
+        |         WHEN doc_id % 7 = 2 THEN 'movable' ELSE NULL END AS br,
+        |    CASE WHEN doc_id % 9 = 0 THEN -1 WHEN doc_id % 9 = 1 THEN 1 ELSE 0 END AS z0,
+        |    CASE WHEN doc_id % 5 = 0 THEN CAST(1435 AS DOUBLE) WHEN doc_id % 5 = 1 THEN CAST(1000 AS DOUBLE)
+        |         ELSE NULL END AS gauge_d,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'main' ELSE 'null' END AS usg,
+        |    CAST(doc_id % 3 AS INT) AS id_zone
+        |  FROM documents),
+        |t1 AS (SELECT *, $typeCase AS type0 FROM raw),
+        |t2 AS (SELECT *,
+        |    CASE WHEN type0 = 'subway' AND NOT ((tun IS NOT NULL AND tun = 'no' AND z0 >= 0)
+        |         OR (br IS NOT NULL AND br IN ('yes', 'viaduct'))) THEN NULL
+        |         ELSE type0 END AS type,
+        |    CASE WHEN br IN $bridgeList THEN 'bridge' ELSE NULL END AS crossing,
+        |    CASE WHEN gauge_d IS NOT NULL THEN gauge_d / 1000 + 1
+        |         ELSE CAST(1.435 AS DOUBLE) + 1 END AS width
+        |  FROM t1),
+        |t3 AS (SELECT *, CASE WHEN z0 = 0 AND crossing IS NOT NULL THEN 1 ELSE z0 END AS zindex
+        |  FROM t2),
+        |kept AS (SELECT * FROM t3 WHERE zindex >= 0 AND type IS NOT NULL)
+        |SELECT CAST(row_number() OVER (ORDER BY id_zone, CAST(id AS VARCHAR)) AS INT) AS id_rail,
+        |  CAST(id AS VARCHAR) AS id_source, type, crossing, zindex, width, usg AS usage
+        |FROM kept ORDER BY id_rail""".stripMargin
+    },
+
+    "osm_format_veget" -> {
+      val tagSql = Map("natural" -> "nat", "landuse" -> "lu", "landcover" -> "lc",
+        "leisure" -> "lei", "sport" -> "sp", "surface" -> "surf",
+        "vineyard" -> "vy", "layer" -> "lyr")
+      val typeCase = caseSql(OsmTagMaps.vegetType, VegCols, tagSql)
+      val classCase = OsmTagMaps.vegetClass.map { case (t, c) =>
+        s"WHEN type = ${sq(t)} THEN ${sq(c)}" }.mkString("CASE ", " ", " ELSE NULL END")
+      val sports = Seq("equestrian", "dog_racing", "canadian_football", "cricket",
+        "croquet", "golf", "horse_racing", "motocross").map(sq).mkString("(", ", ", ")")
+      s"""WITH raw AS (SELECT doc_id AS id,
+        |    [NULL, 'wood', 'scrub', 'grassland', 'wetland'][CAST(doc_id % 5 AS INT) + 1] AS nat,
+        |    [NULL, 'farmland', 'meadow', 'forest', 'vineyard', 'residential'][CAST(doc_id % 6 AS INT) + 1] AS lu,
+        |    CASE WHEN doc_id % 10 = 0 THEN 'trees' ELSE NULL END AS lc,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'pitch' WHEN doc_id % 11 = 1 THEN 'park' ELSE NULL END AS lei,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'golf' WHEN doc_id % 13 = 1 THEN 'tennis' ELSE NULL END AS sp,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'grass' WHEN doc_id % 17 = 1 THEN 'asphalt' ELSE NULL END AS surf,
+        |    CASE WHEN doc_id % 19 = 0 THEN 'terraced' WHEN doc_id % 19 = 1 THEN 'no' ELSE NULL END AS vy,
+        |    CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END AS zindex,
+        |    CAST(doc_id % 3 AS INT) AS id_zone
+        |  FROM documents),
+        |t1 AS (SELECT *, $typeCase AS type0 FROM raw),
+        |t2 AS (SELECT *, CASE WHEN type0 = 'pitch' AND sp IN $sports THEN 'grass'
+        |    ELSE type0 END AS type,
+        |    ((surf IS NOT NULL AND surf <> 'grass')
+        |      OR (type0 = 'pitch' AND sp IS NOT NULL AND sp NOT IN $sports)) AS dropped
+        |  FROM t1),
+        |kept AS (SELECT * FROM t2 WHERE type0 IS NOT NULL AND NOT dropped)
+        |SELECT CAST(row_number() OVER (ORDER BY id_zone, CAST(id AS VARCHAR)) AS INT) AS id_veget,
+        |  CAST(id AS VARCHAR) AS id_source, type, $classCase AS height_class, zindex
+        |FROM kept ORDER BY id_veget""".stripMargin
+    },
+
+    "osm_format_water" ->
+      """WITH raw AS (SELECT doc_id AS id,
+        |    [NULL, 'water', 'bay', 'strait'][CAST(doc_id % 4 AS INT) + 1] AS nat,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'yes' WHEN doc_id % 5 = 1 THEN 'no' ELSE NULL END AS itm,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'harbour' WHEN doc_id % 7 = 1 THEN 'mooring' ELSE NULL END AS smk,
+        |    CASE WHEN doc_id % 9 = 0 THEN -1 ELSE 0 END AS zindex,
+        |    CAST(doc_id % 3 AS INT) AS id_zone
+        |  FROM documents),
+        |kept AS (SELECT * FROM raw WHERE smk IS NULL OR smk IN ('harbour_basin', 'harbour'))
+        |SELECT CAST(row_number() OVER (ORDER BY id_zone, CAST(id AS VARCHAR)) AS INT) AS id_water,
+        |  CAST(id AS VARCHAR) AS id_source,
+        |  CASE WHEN nat IN ('bay', 'strait') THEN 'sea' ELSE 'water' END AS type,
+        |  coalesce(itm = 'yes', false) AS intermittent, zindex
+        |FROM kept ORDER BY id_water""".stripMargin,
+
+    // hand-derived: parking face-set reunifies to the full A rect (it wins
+    // the shared face by area); sport keeps its non-overlapped remainder;
+    // power keeps the disjoint plant; filtered/area<=1 rows vanish
+    "osm_format_impervious" ->
+      """WITH z AS (SELECT CAST(range AS INT) AS id_zone FROM range(0, 10)),
+        |f(type, area) AS (VALUES
+        |  ('parking', 3600.0), ('power', 400.0), ('sport', 1600.0))
+        |SELECT id_zone, type, round(area, 6) AS area
+        |FROM z CROSS JOIN f ORDER BY id_zone, type""".stripMargin,
+
+    // hand-derived: commercial keeps 3600; industrial 400; residential
+    // splits into the disjoint 400 part and the big part minus the
+    // commercial overlap (20x60) with the industrial rect punched as a hole
+    "osm_format_urban" ->
+      """WITH z AS (SELECT CAST(range AS INT) AS id_zone FROM range(0, 10)),
+        |f(type, area, holes_area) AS (VALUES
+        |  ('commercial', 3600.0, 0.0),
+        |  ('industrial', 400.0, 0.0),
+        |  ('residential', 400.0, 0.0),
+        |  ('residential', 10000.0 - 1200.0 - 400.0, 400.0))
+        |SELECT id_zone, type, round(area, 6) AS area, round(holes_area, 6) AS holes_area
+        |FROM z CROSS JOIN f ORDER BY id_zone, type, area""".stripMargin,
 
     // same scene as osm_relation_assembly, arriving via the XML envelope
     // (from_xml ids parse as BIGINT)

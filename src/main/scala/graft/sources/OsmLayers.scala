@@ -213,6 +213,253 @@ object OsmLayers {
         col("type"), col("main_use"), col("zindex"), col("roof_shape"), col("estimated"))
   }
 
+  /**
+   * formatRailsLayer (InputDataFormatting.groovy:484-563): rail type rules
+   * with the subway gate (a subway survives only as tunnel=no at zindex>=0
+   * or on a bridge/viaduct), bridge crossing lifting an unset zindex, width
+   * from the gauge tag (gauge/1000 + 1 m ballast, default standard gauge
+   * 1.435+1). The reference interpolates a null usage tag into the SQL
+   * string, storing the literal 'null' — replicated deliberately.
+   */
+  def formatRailsLayer(raw: DataFrame, zoneId: String): DataFrame = {
+    val cols = raw.columns.toSet
+    val tag = tagOf(cols) _
+    val typ0 = typeValue(OsmTagMaps.railType, cols)
+    val z0 = zIndex(tag("layer"))
+    val subwayOk = (tag("tunnel").isNotNull && tag("tunnel") === "no" && z0 >= 0) ||
+      (tag("bridge").isNotNull && tag("bridge").isin("yes", "viaduct"))
+    val typ = when(typ0 === "subway" && !subwayOk, lit(null).cast("string")).otherwise(typ0)
+    val crossing = when(tag("bridge").isInCollection(OsmTagMaps.railCrossingBridge), "bridge")
+      .otherwise(lit(null).cast("string"))
+    val gauge = tag("gauge").try_cast("double")
+    val kept = raw
+      .select(col(zoneId), col("id").cast("string").as("id_source"), col("the_geom"),
+        typ.as("type"), crossing.as("crossing"),
+        when(z0 === 0 && crossing.isNotNull, 1).otherwise(z0).as("zindex"),
+        when(gauge.isNotNull, gauge / 1000 + 1).otherwise(lit(1.435 + 1)).as("width"),
+        coalesce(tag("usage"), lit("null")).as("usage")) // reference quirk: null usage -> 'null'
+      .where(col("zindex") >= 0 && col("type").isNotNull)
+      .select(col(zoneId), col("id_source"),
+        posexplode(G.stExplode(col("the_geom"))).as(Seq("__part", "the_geom")),
+        col("type"), col("crossing"), col("zindex"), col("width"), col("usage"))
+    denseIds(kept, zoneId, Seq(col("id_source"), col("__part")), "id_rail")
+      .select(col(zoneId), col("the_geom"), col("id_rail"), col("id_source"),
+        col("type"), col("crossing"), col("zindex"), col("width"), col("usage"))
+  }
+
+  /**
+   * formatVegetationLayer (InputDataFormatting.groovy:578-649): vegetation
+   * type rules; rows with a non-grass surface tag drop; type 'pitch' flips
+   * to 'grass' for the reference's sport list, drops for any other non-null
+   * sport; height class from the type→class map AFTER the pitch override;
+   * polygon parts with area > 1.
+   */
+  def formatVegetationLayer(raw: DataFrame, zoneId: String): DataFrame = {
+    val cols = raw.columns.toSet
+    val tag = tagOf(cols) _
+    val typ0 = typeValue(OsmTagMaps.vegetType, cols)
+    val grassSports = Seq("equestrian", "dog_racing", "canadian_football", "cricket",
+      "croquet", "golf", "horse_racing", "motocross")
+    val typ = when(typ0 === "pitch" && tag("sport").isInCollection(grassSports), "grass")
+      .otherwise(typ0)
+    val dropped = (tag("surface").isNotNull && tag("surface") =!= "grass") ||
+      (typ0 === "pitch" && tag("sport").isNotNull && !tag("sport").isInCollection(grassSports))
+    val heightClass =
+      if (OsmTagMaps.vegetClass.isEmpty) lit(null).cast("string")
+      else element_at(typedLit(OsmTagMaps.vegetClass), typ)
+    val kept = raw
+      .where(typ0.isNotNull && !coalesce(dropped, lit(false)))
+      .select(col(zoneId), col("id").cast("string").as("id_source"), col("the_geom"),
+        typ.as("type"), heightClass.as("height_class"), zIndex(tag("layer")).as("zindex"))
+      .select(col(zoneId), col("id_source"),
+        posexplode(G.stExplode(col("the_geom"))).as(Seq("__part", "the_geom")),
+        col("type"), col("height_class"), col("zindex"))
+      .where(G.stDimension(col("the_geom")) === 2 && G.stArea(col("the_geom")) > 1)
+    denseIds(kept, zoneId, Seq(col("id_source"), col("__part")), "id_veget")
+      .select(col(zoneId), col("the_geom"), col("id_veget"), col("id_source"),
+        col("type"), col("height_class"), col("zindex"))
+  }
+
+  /**
+   * formatWaterLayer (InputDataFormatting.groovy:660-715): seamark-typed
+   * rows restricted to harbours (zone branch), natural=bay/strait typed
+   * 'sea' else 'water', intermittent = tag == "yes", polygon parts with
+   * area > 1.
+   */
+  def formatWaterLayer(raw: DataFrame, zoneId: String): DataFrame = {
+    val cols = raw.columns.toSet
+    val tag = tagOf(cols) _
+    val kept = raw
+      .where(tag("seamark:type").isNull ||
+        tag("seamark:type").isin("harbour_basin", "harbour"))
+      .select(col(zoneId), col("id").cast("string").as("id_source"), col("the_geom"),
+        when(tag("natural").isin("bay", "strait"), "sea").otherwise("water").as("type"),
+        coalesce(tag("intermittent") === "yes", lit(false)).as("intermittent"),
+        zIndex(tag("layer")).as("zindex"))
+      .select(col(zoneId), col("id_source"),
+        posexplode(G.stExplode(col("the_geom"))).as(Seq("__part", "the_geom")),
+        col("type"), col("intermittent"), col("zindex"))
+      .where(G.stDimension(col("the_geom")) === 2 && G.stArea(col("the_geom")) > 1)
+    denseIds(kept, zoneId, Seq(col("id_source"), col("__part")), "id_water")
+      .select(col(zoneId), col("the_geom"), col("id_water"), col("id_source"),
+        col("type"), col("intermittent"), col("zindex"))
+  }
+
+  /** ST_SnapToSelf (H2GIS): JTS GeometrySnapper.snapToSelf with the given
+    * tolerance and result cleaning — the reference calls it with -0.001 on
+    * urban areas (InputDataFormatting.groovy:1149). */
+  private val snapToSelfUdf = udf { (b: Array[Byte], tol: Double) =>
+    val g = graft.geom.Geo.fromWkb(b)
+    graft.geom.Geo.toWkb(
+      new org.locationtech.jts.operation.overlay.snap.GeometrySnapper(g)
+        .snapToSelf(tol, true))
+  }
+
+  /**
+   * removeOverlaps (DataUtils.groovy:255-278): each polygon that OVERLAPS
+   * strictly smaller polygons becomes its difference with their buffered
+   * union; everything else passes through. Pair search is the bbox-cell
+   * candidates join keyed by `zoneId`.
+   */
+  def removeOverlaps(df: DataFrame, zoneId: String, idCol: String,
+                     grid: graft.index.CellGrid, res: Int): DataFrame = {
+    import graft.operators.SpatialJoin
+    val b = df.select(col(zoneId), col(idCol).as("__idb"),
+      col("the_geom").as("__gb"))
+    val cut = SpatialJoin.candidatesBbox(df.select(col(zoneId), col(idCol), col("the_geom")),
+        "the_geom", b, "__gb", grid, res, keys = Seq(zoneId))
+      .where(col(idCol) =!= col("__idb") && G.stOverlaps(col("the_geom"), col("__gb"))
+        && G.stArea(col("the_geom")) > G.stArea(col("__gb")))
+      .groupBy(col(zoneId), col(idCol), col("the_geom"))
+      .agg(G.st_union_agg(col("__gb")).as("__u"))
+      .select(col(zoneId), col(idCol),
+        G.stDifference(col("the_geom"), G.stBuffer(col("__u"), lit(0.0))).as("__cut"))
+    df.join(cut, Seq(zoneId, idCol), "left")
+      .withColumn("the_geom",
+        when(col("__cut").isNotNull, col("__cut")).otherwise(col("the_geom")))
+      .drop("__cut")
+  }
+
+  /**
+   * withinToHoles (DataUtils.groovy:221-244): polygons fully containing
+   * other polygons get them punched as holes (exterior ring + contained
+   * rings, buffer(0) repair); everything else passes through.
+   */
+  def withinToHoles(df: DataFrame, zoneId: String, idCol: String,
+                    grid: graft.index.CellGrid, res: Int): DataFrame = {
+    import graft.operators.SpatialJoin
+    val b = df.select(col(zoneId), col(idCol).as("__idb"), col("the_geom").as("__gb"))
+    val punch = udf { (outer: Array[Byte], holes: Seq[Array[Byte]]) =>
+      val o = graft.geom.Geo.fromWkb(outer).asInstanceOf[org.locationtech.jts.geom.Polygon]
+      val hs = holes.filter(_ != null).flatMap { h =>
+        val g = graft.geom.Geo.fromWkb(h)
+        (0 until g.getNumGeometries).map(i =>
+          graft.geom.Geo.factory.createLinearRing(
+            g.getGeometryN(i).asInstanceOf[org.locationtech.jts.geom.Polygon]
+              .getExteriorRing.getCoordinates))
+      }
+      graft.geom.Geo.toWkb(graft.geom.Geo.factory.createPolygon(
+        graft.geom.Geo.factory.createLinearRing(o.getExteriorRing.getCoordinates),
+        hs.toArray).buffer(0))
+    }
+    val holed = SpatialJoin.candidatesBbox(df.select(col(zoneId), col(idCol), col("the_geom")),
+        "the_geom", b, "__gb", grid, res, keys = Seq(zoneId))
+      .where(col(idCol) =!= col("__idb") && G.stContains(col("the_geom"), col("__gb")))
+      .groupBy(col(zoneId), col(idCol), col("the_geom"))
+      .agg(collect_list(col("__gb")).as("__hs"))
+      .select(col(zoneId), col(idCol), punch(col("the_geom"), col("__hs")).as("__holed"))
+    df.join(holed, Seq(zoneId, idCol), "left")
+      .withColumn("the_geom",
+        when(col("__holed").isNotNull, col("__holed")).otherwise(col("the_geom")))
+      .drop("__holed")
+  }
+
+  /**
+   * formatUrbanAreasLayer (InputDataFormatting.groovy:1127-1215): rows with
+   * a building tag skipped; tag→type via the urban hierarchy (with the
+   * construction override — inert under the default map, which has no
+   * 'construction' target; replicated for custom maps); snap-to-self
+   * -0.001 cleanup; polygon parts with area > 1; per-(zone, type) union,
+   * exploded and re-identified; overlaps removed (larger minus smaller)
+   * then contained areas punched as holes.
+   */
+  def formatUrbanAreasLayer(raw: DataFrame, zoneId: String,
+                            grid: graft.index.CellGrid, res: Int): DataFrame = {
+    val cols = raw.columns.toSet
+    val tag = tagOf(cols) _
+    val tu = typeAndUse(OsmTagMaps.urbanType, cols)
+    val typ0 = tu.getField("t")
+    val constructions = Seq("industrial", "commercial", "residential")
+    val typ = when(typ0 === "construction" && tag("construction").isInCollection(constructions),
+      tag("construction")).otherwise(typ0)
+    val parts = raw
+      .where(tag("building").isNull)
+      .select(col(zoneId), typ.as("type"),
+        snapToSelfUdf(col("the_geom"), lit(-0.001)).as("the_geom"))
+      .where(col("type").isNotNull)
+      .select(col(zoneId), col("type"),
+        explode(G.stExplode(col("the_geom"))).as("the_geom"))
+      .where(G.stDimension(col("the_geom")) === 2 && G.stArea(col("the_geom")) > 1)
+    val merged = parts.groupBy(col(zoneId), col("type"))
+      .agg(G.st_union_agg(col("the_geom")).as("__u"))
+      .select(col(zoneId), col("type"), explode(G.stExplode(col("__u"))).as("the_geom"))
+    val withIds = denseIds(merged, zoneId,
+      Seq(col("type"), G.stX(G.stCentroid(col("the_geom"))),
+        G.stY(G.stCentroid(col("the_geom")))), "id_urban")
+    withinToHoles(
+      removeOverlaps(withIds, zoneId, "id_urban", grid, res)
+        .localCheckpoint(), // holes pass reads the overlap-resolved layer
+      zoneId, "id_urban", grid, res)
+      .select(col(zoneId), col("the_geom"), col("id_urban"), col("type"))
+  }
+
+  /**
+   * formatImperviousLayer (InputDataFormatting.groovy:768-815): candidate
+   * rows (SQL three-valued filter: building null OR non-grass surface OR
+   * non-underground parking) have their linework noded + polygonized per
+   * zone; each face is attributed to the LARGEST raw impervious polygon
+   * containing its point-on-surface (the reference's left-join-max idiom —
+   * on an area tie it inserts every tied row; here the max picks one
+   * deterministically, types tie-broken lexicographically); the winning
+   * row's tag→type mapping names the face; faces with area > 1 are unioned
+   * per (zone, type) and re-exploded with fresh ids.
+   */
+  def formatImperviousLayer(raw: DataFrame, zoneId: String,
+                            grid: graft.index.CellGrid, res: Int): DataFrame = {
+    import graft.operators.{SpatialJoin, SpatialUnits}
+    val cols = raw.columns.toSet
+    val tag = tagOf(cols) _
+    val keep = !tag("surface").isin("grass") || !tag("parking").isin("underground") ||
+      tag("building").isNull
+    val filtered = raw.where(keep)
+    val faces = filtered
+      .select(col(zoneId), G.stToMultiLine(col("the_geom")).as("the_geom"))
+      .groupBy(col(zoneId)).agg(collect_list(col("the_geom")).as("__gs"))
+      .select(col(zoneId), explode(SpatialUnits.polygonizeUdf(col("__gs"))).as("the_geom"))
+      .where(G.stArea(col("the_geom")) > 1)
+      .withColumn("__pos", G.stPointOnSurf(col("the_geom")))
+      .select(col(zoneId).as("__fz"), col("the_geom").as("__face"),
+        G.stX(col("__pos")).as("__px"), G.stY(col("__pos")).as("__py"))
+    // attribution against the RAW layer (reference joins the unfiltered
+    // table), type computed per raw row once
+    val typed = raw.select(col(zoneId),
+      typeAndUse(OsmTagMaps.imperviousType, cols).getField("t").as("__t"),
+      G.stArea(col("the_geom")).as("__a"), col("the_geom"))
+    val win = SpatialJoin.pointInPolygon(faces, "__px", "__py",
+        typed, "the_geom", grid, res)
+      .where(col("__fz") === col(zoneId))
+      .groupBy(col(zoneId), col("__face"))
+      .agg(max(struct(col("__a"), col("__t"))).getField("__t").as("type"))
+      .where(col("type").isNotNull)
+    val merged = win.groupBy(col(zoneId), col("type"))
+      .agg(G.st_union_agg(col("__face")).as("__u"))
+      .select(col(zoneId), col("type"), explode(G.stExplode(col("__u"))).as("the_geom"))
+    denseIds(merged, zoneId,
+      Seq(col("type"), G.stX(G.stCentroid(col("the_geom"))),
+        G.stY(G.stCentroid(col("the_geom")))), "id_impervious")
+      .select(col(zoneId), col("the_geom"), col("id_impervious"), col("type"))
+  }
+
   /** LINEMERGE of a collected line set (H2GIS ST_LINEMERGE(ST_ACCUM(...))). */
   private val lineMergeUdf = udf { (gs: Seq[Array[Byte]]) =>
     val m = new org.locationtech.jts.operation.linemerge.LineMerger()

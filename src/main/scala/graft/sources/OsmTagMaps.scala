@@ -2,11 +2,12 @@ package graft.sources
 
 /**
  * OSM tag-to-model mapping tables — the DATA of the reference's
- * buildingParams.json / roadParams.json (osm/src/main/resources/org/orbisgis/
- * geoclimate/osm/), transcribed verbatim (generated from the JSONs; entry
- * ORDER is semantic — getTypeAndUse/getTypeValue take the FIRST matching
- * entry, InputDataFormatting.groovy:851-894, 1020-1049). Pure lookup data,
- * not code: the engine compiles these into Catalyst CASE chains and the
+ * buildingParams/roadParams/railParams/vegetParams/imperviousParams/
+ * urbanAreasParams JSONs (osm/src/main/resources/org/orbisgis/geoclimate/
+ * osm/), transcribed verbatim (generated from the JSONs; entry ORDER is
+ * semantic — getTypeAndUse/getTypeValue take the FIRST matching entry,
+ * InputDataFormatting.groovy:851-894, 1020-1049). Pure lookup data, not
+ * code: the engine compiles these into first-match rule matchers and the
  * oracle emitter compiles the same structures into SQL.
  *
  * Rule shape: (targetType[, mainUse], Seq(tagColumn -> matchValues)).
@@ -242,4 +243,73 @@ object OsmTagMaps {
 
   /** bridge tag values mapped to crossing='bridge' — roadParams.json `crossing`. */
   val roadCrossingBridge: Seq[String] = Seq("yes", "aqueduct", "cantilever", "covered", "low_water_crossing", "movable", "trestle", "viaduct")
+
+  /** rail type rules — railParams.json `type`. */
+  val railType: Seq[(String, Seq[(String, Seq[String])])] = Seq(
+    ("highspeed", Seq(("highspeed", Seq("yes")))),
+    ("rail", Seq(("railway", Seq("rail", "light_rail", "narrow_gauge")))),
+    ("service_track", Seq(("service", Seq("yard", "siding", "spur", "crossover")))),
+    ("disused", Seq(("railway", Seq("disused")))),
+    ("funicular", Seq(("railway", Seq("funicular")))),
+    ("subway", Seq(("railway", Seq("subway")))),
+    ("tram", Seq(("railway", Seq("tram")))))
+
+  /** rail bridge values — railParams.json `crossing`. */
+  val railCrossingBridge: Seq[String] = Seq("yes", "aqueduct", "cantilever", "covered", "low_water_crossing", "movable", "trestle", "viaduct")
+
+  /** vegetation type rules — vegetParams.json `type`. */
+  val vegetType: Seq[(String, Seq[(String, Seq[String])])] = Seq(
+    ("farmland", Seq(("landuse", Seq("farmland")))),
+    ("wood", Seq(("landcover", Seq("trees")), ("natural", Seq("wood")))),
+    ("meadow", Seq(("landuse", Seq("meadow")), ("wetland", Seq("wet_meadow")))),
+    ("forest", Seq(("landuse", Seq("forest")))),
+    ("scrub", Seq(("natural", Seq("scrub")), ("landcover", Seq("scrub")), ("landuse", Seq("scrub")))),
+    ("grass", Seq(("natural", Seq("grass")), ("leisure", Seq("golf_course")), ("landuse", Seq("village_green", "grass")), ("surface", Seq("grass")), ("tourism", Seq("camp_site")), ("sport", Seq("soccer", "rugby", "horse_racing")))),
+    ("grassland", Seq(("landcover", Seq("grass", "grassland")), ("natural", Seq("grassland")), ("vegetation", Seq("grassland")), ("landuse", Seq("grassland")))),
+    ("heath", Seq(("natural", Seq("heath")))),
+    ("park", Seq(("leisure", Seq("park")), ("landuse", Seq("recreation_ground")))),
+    ("garden", Seq(("leisure", Seq("garden")), ("landuse", Seq("allotments")))),
+    ("mangrove", Seq(("wetland", Seq("mangrove")))),
+    ("orchard", Seq(("landuse", Seq("orchard")))),
+    ("plant_nursery", Seq(("landuse", Seq("plant_nursery")))),
+    ("vineyard", Seq(("landuse", Seq("vineyard")), ("vineyard", Seq("! no")))),
+    ("banana_plants", Seq(("trees", Seq("banana_plants")), ("crop", Seq("banana")))),
+    ("sugar_cane", Seq(("produce", Seq("sugar_cane")), ("crop", Seq("sugar_cane")))),
+    ("marsh", Seq(("wetland", Seq("marsh")))),
+    ("saltmarsh", Seq(("wetland", Seq("saltmarsh")))),
+    ("wetland", Seq(("landuse", Seq("wetland")), ("natural", Seq("wetland")))),
+    ("pitch", Seq(("leisure", Seq("pitch")))))
+
+  /** vegetation type -> height class (low/high) — vegetParams.json `class`. */
+  val vegetClass: Map[String, String] = Map("farmland" -> "low", "wood" -> "high", "forest" -> "high", "scrub" -> "low", "grass" -> "low", "grassland" -> "low", "heath" -> "low", "park" -> "low", "meadow" -> "low", "mangrove" -> "high", "orchard" -> "high", "vineyard" -> "low", "banana_plants" -> "high", "sugar_cane" -> "low", "garden" -> "low", "marsh" -> "low", "saltmarsh" -> "low", "wetland" -> "low", "plant_nursery" -> "low")
+
+  /** impervious type rules (type:use keys) — imperviousParams.json `type`. */
+  val imperviousType: Seq[(String, String, Seq[(String, Seq[String])])] = Seq(
+    ("parking", "parking", Seq(("amenity", Seq("parking", "bicycle_parking", "car_sharing", "parking_place")), ("highway", Seq("rest_area")))),
+    ("platform", "platform", Seq(("railway", Seq("platform")))),
+    ("aeroway", "aeroway", Seq(("area:aeroway", Seq("runway")), ("aeroway", Seq("apron")))),
+    ("power", "power", Seq(("power", Seq("plant", "substation")))),
+    ("sport", "sport", Seq(("leisure", Seq("pitch")))),
+    ("pedestrian", "pedestrian", Seq(("highway", Seq("pedestrian")))))
+
+  /** urban-areas type rules (type:use keys) — urbanAreasParams.json `type`. */
+  val urbanType: Seq[(String, String, Seq[(String, Seq[String])])] = Seq(
+    ("education", "education", Seq(("landuse", Seq("education")))),
+    ("university", "university", Seq(("amenity", Seq("university")))),
+    ("research_institute", "research_institute", Seq(("amenity", Seq("research_institute")))),
+    ("school", "school", Seq(("amenity", Seq("school")))),
+    ("commercial", "commercial", Seq(("landuse", Seq("commercial")))),
+    ("retail", "retail", Seq(("landuse", Seq("retail")))),
+    ("residential", "residential", Seq(("landuse", Seq("residential")))),
+    ("industrial", "industrial", Seq(("landuse", Seq("industrial")), ("power", Seq("plant", "substation")))),
+    ("port", "port", Seq(("landuse", Seq("port")))),
+    ("refinery", "refinery", Seq(("industrial", Seq("refinery")))),
+    ("government", "government", Seq(("landuse", Seq("institutional")))),
+    ("community_centre", "community_centre", Seq(("amenity", Seq("community_centre")))),
+    ("military", "military", Seq(("landuse", Seq("military")))),
+    ("railway", "railway", Seq(("landuse", Seq("railway")))),
+    ("farmyard", "farmyard", Seq(("landuse", Seq("farmyard")))),
+    ("healthcare", "healthcare", Seq(("healthcare", Seq("hospital")))),
+    ("religious", "religious", Seq(("landuse", Seq("religious")))),
+    ("garage", "garage", Seq(("landuse", Seq("garages")))))
 }
