@@ -57,13 +57,22 @@ object RandomForestTrainer {
       .na.drop() // smile's omitNullRows (TypologyClassification.groovy:595)
       .localCheckpoint() // read maxDepth times per tree
     // candidate thresholds per feature: midpoints of the sorted distinct
-    // values (capped to maxBins by equi-spaced selection)
+    // values when few (exact, smile-like), else approx quantiles — the cap
+    // is applied DISTRIBUTEDLY (low-cardinality check first), so the driver
+    // never collects an unbounded distinct set at data scale
     val thresholds: Array[Array[Double]] = features.map { f =>
-      val vs = df.select(col(f)).where(col(f).isNotNull).distinct()
-        .orderBy(col(f)).collect().map(_.getDouble(0)) // bounded: distinct feature values, capped below
-      val picked = if (vs.length <= maxBins) vs
-        else Array.tabulate(maxBins)(i => vs(((i.toLong * (vs.length - 1)) / (maxBins - 1)).toInt))
-      picked.sliding(2).collect { case Array(a, b) => (a + b) / 2 }.toArray
+      val nd = df.select(approx_count_distinct(col(f)).as("n")).head().getLong(0)
+      val vs: Array[Double] =
+        if (nd <= maxBins * 2) // approx count: 2x slack before switching modes
+          df.select(col(f)).where(col(f).isNotNull).distinct()
+            .orderBy(col(f)).collect().map(_.getDouble(0))
+        else {
+          val qs = (0 until maxBins).map(i => i.toDouble / (maxBins - 1))
+          df.where(col(f).isNotNull)
+            .select(percentile_approx(col(f), typedLit(qs), lit(10000)).as("q"))
+            .head().getSeq[Double](0).distinct.sorted.toArray
+        }
+      vs.sliding(2).collect { case Array(a, b) => (a + b) / 2 }.toArray
     }.toArray
     val rnd = new scala.util.Random(seed)
     val trees = (0 until numTrees).map { t =>

@@ -49,6 +49,18 @@ class RandomForestTrainerSpec extends SparkTestBase {
     assert(maxErr == 0.0) // integer-valued target: statistics are exact
   }
 
+  test("high-cardinality feature switches to quantile thresholds (bounded driver)") {
+    val data = spark.range(0, 4000).select(
+      (col("id") % 2000).cast("double").as("x1"), // 2000 distinct >> maxBins*2
+      when(col("id") % 2000 < 1000, 0).otherwise(1).as("y"))
+    val f = RandomForestTrainer.train(data, Seq("x1"), "y",
+      numTrees = 1, maxDepth = 2, numClasses = 2, maxBins = 32)
+    val votes = RandomForest.classifyVoteColumns(f, Map("x1" -> col("x1")), 2)
+    val pred = RandomForest.argmaxColumn(votes, Seq("0", "1")).cast("int")
+    val wrong = data.where(pred =!= col("y")).count()
+    assert(wrong.toDouble / 4000 < 0.05) // best quantile cut lands within one bucket of 1000
+  }
+
   test("determinism: same seed -> identical forest") {
     def f() = RandomForestTrainer.train(grid, Seq("x1", "x2", "x3"), "y",
       numTrees = 2, maxDepth = 3, numClasses = 3, subsample = 0.8, mtry = 2, seed = 5L)
