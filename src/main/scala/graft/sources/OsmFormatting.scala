@@ -80,30 +80,33 @@ object OsmFormatting {
    */
   def formatHeights(hw0: Column, hr0: Column, nl0: Column, hLevMin: Double,
                     buildingType: Column, levelMap: Map[String, Int]): Column = {
-    // ONE map-literal lookup, not a 154-branch CaseWhen: codegen assembly of
-    // a branch-per-type chain is quadratic in branch count (~10 s per
-    // execution with the full reference level map); element_at on a map
-    // literal is a single plan node and returns null for unmapped types
-    val typeLevels =
-      if (levelMap.isEmpty) lit(null).cast("int")
-      else element_at(typedLit(levelMap), buildingType)
-    def res(hw: Column, hr: Column, nl: Column, est: Column) =
-      struct(hw.as("height_wall"), hr.as("height_roof"),
-        nl.cast("int").as("nb_lev"), est.as("estimated"))
-    val floorLevels = (h: Column) => greatest(floor(h / hLevMin), lit(1.0))
-    val nlDefault = coalesce(typeLevels, lit(1))
-    when(hw0 =!= 0 && hr0 =!= 0 && nl0 =!= 0, res(hw0, hr0, nl0, lit(false)))
-      .when(hw0 === 0 && (hr0.isNull || hr0 === 0) && nl0 === 0,
-        res(nlDefault * hLevMin, nlDefault * hLevMin, nlDefault, lit(true)))
-      .when(hw0 === 0 && (hr0.isNull || hr0 === 0),
-        res(nl0 * hLevMin, nl0 * hLevMin, nl0, lit(false)))
-      .when(hw0 === 0,
-        res(hr0, hr0, when(nl0 === 0, floorLevels(hr0)).otherwise(nl0), lit(false)))
-      .when(hw0 === hr0,
-        res(hw0, hr0, when(nl0 === 0, floorLevels(hw0)).otherwise(nl0), lit(false)))
-      .when(hw0 > hr0,
-        res(hw0, hw0, when(nl0 === 0, floorLevels(hw0)).otherwise(nl0), lit(false)))
-      .otherwise(
-        res(hw0, hr0, when(nl0 === 0, floorLevels(hr0)).otherwise(nl0), lit(false)))
+    // One compact kernel UDF, not a Column cascade: the struct's four field
+    // extractions each re-inline the whole cascade (SimplifyExtractValueOps),
+    // and inside the building formatter's projection that pushed the
+    // generated method past the 64KB codegen limit — silent interpreted
+    // fallback, ~5x slower. The UDF runs the IDENTICAL IEEE op sequence
+    // (int*double products, floor/ max) so oracle parity is unchanged;
+    // inputs are non-null by construction (heightRoof/heightWall/nbLevels
+    // coalesce to 0).
+    val f = udf { (hw: Double, hr: Double, nl: Int, typ: String) =>
+      def floorLev(h: Double): Int = math.max(math.floor(h / hLevMin), 1.0).toInt
+      if (hw != 0 && hr != 0 && nl != 0) (hw, hr, nl, false)
+      else if (hw == 0 && hr == 0 && nl == 0) {
+        val nld = levelMap.getOrElse(typ, 1)
+        (nld * hLevMin, nld * hLevMin, nld, true)
+      }
+      else if (hw == 0 && hr == 0) (nl * hLevMin, nl * hLevMin, nl, false)
+      else if (hw == 0) (hr, hr, if (nl == 0) floorLev(hr) else nl, false)
+      else if (hw == hr) (hw, hr, if (nl == 0) floorLev(hw) else nl, false)
+      else if (hw > hr) (hw, hw, if (nl == 0) floorLev(hw) else nl, false)
+      else (hw, hr, if (nl == 0) floorLev(hr) else nl, false)
+    }
+    // asNondeterministic: an OPTIMIZATION fence, not a semantic statement —
+    // the kernel is pure, but left pushable, the `nb_lev > 0` row filter
+    // gets substituted through it and re-inlines the full height/type
+    // pipeline into the predicate (measured 1.1 MB of generated code for
+    // one stage -> 64KB-limit interpreted fallback)
+    f.asNondeterministic()(hw0, hr0, nl0, buildingType)
+      .cast("struct<height_wall:double,height_roof:double,nb_lev:int,estimated:boolean>")
   }
 }
