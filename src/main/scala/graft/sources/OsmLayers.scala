@@ -141,7 +141,7 @@ object OsmLayers {
 
   /** Dense ids per zone: per-zone ranks + #zones-row offsets (createTSU
     * shape) — insertion-order SERIAL semantics without a global window. */
-  private def denseIds(df: DataFrame, zoneId: String, order: Seq[Column],
+  private[sources] def denseIds(df: DataFrame, zoneId: String, order: Seq[Column],
                        out: String): DataFrame = {
     val parts = df.localCheckpoint() // ranks + offsets both read it
     val ranked = parts.withColumn("__rk",
