@@ -109,4 +109,248 @@ object BdTopo {
         col("height_wall"), col("height_roof"), col("nb_lev"),
         col("type"), col("main_use"), col("zindex"), col("estimated"))
   }
+
+  /** Commune-zone clip for line layers (BDTopoV2Workflow queryMapper:
+    * `&& + ST_INTERSECTS` keep, contained kept verbatim, the rest clipped
+    * with the line components of the intersection — ST_CollectionExtract
+    * (..., 2)). `zone` is the one-row commune polygon (COMMUNE.shp). */
+  def clipLinesToZone(raw: DataFrame, zone: DataFrame): DataFrame = {
+    val z = broadcast(zone.select(col("the_geom").as("__zg")))
+    raw.crossJoin(z)
+      .where(G.stIntersects(col("__zg"), col("the_geom")))
+      .withColumn("the_geom",
+        when(G.stContains(col("__zg"), col("the_geom")), col("the_geom"))
+          .otherwise(G.stLines(G.stIntersection(col("the_geom"), col("__zg")))))
+      .where(!G.stIsEmpty(col("the_geom")))
+      .drop("__zg")
+  }
+
+  // ---- roads --------------------------------------------------------------
+
+  /** NATURE → (type, maxspeed, surface) — formatRoadLayer's switch
+    * (bdtopo InputDataFormatting.groovy:463-545). Width defaults come from
+    * RoadTypeWidth; 'bridge' is deliberately absent there (the reference's
+    * map lookup returns null). */
+  val RoadNature: Map[String, (String, Int, String)] = Map(
+    "Autoroute" -> (("motorway", 130, "asphalt")),
+    "Type autoroutier" -> (("motorway", 130, "asphalt")),
+    "Quasi-autoroute" -> (("trunk", 130, "asphalt")),
+    "Bretelle" -> (("highway_link", 50, "asphalt")),
+    "Route à 2 chaussées" -> (("primary", 80, "asphalt")),
+    "Route à 1 chaussée" -> (("unclassified", 50, "asphalt")),
+    "Route empierrée" -> (("track", 10, "paved")),
+    "Chemin" -> (("track", 0, "ground")),
+    "Sentier" -> (("path", 0, "ground")),
+    "Pont" -> (("bridge", 0, "asphalt")),
+    "NC" -> (("unclassified", 0, "asphalt")),
+    "Rond-point" -> (("roundabout", 30, "asphalt")),
+    "Piste cyclable" -> (("cycleway", 0, "asphalt")))
+
+  val RoadTypeWidth: Map[String, Double] = Map(
+    "highway" -> 8, "motorway" -> 24, "trunk" -> 16, "primary" -> 10,
+    "secondary" -> 10, "tertiary" -> 8, "residential" -> 8, "unclassified" -> 3,
+    "track" -> 2, "path" -> 2, "footway" -> 2, "cycleway" -> 2, "steps" -> 2,
+    "highway_link" -> 8, "roundabout" -> 4, "ferry" -> 0, "pedestrian" -> 3,
+    "service" -> 3)
+
+  /** ROUTE shapefile → the loading schema (BDTopoV2Workflow.groovy:129-133 +
+    * InputDataLoading INPUT_ROAD): POS_SOL >= 0, ferry/stair natures out,
+    * IMPORTANCE '1'..'5' as rank. */
+  def loadRoads(spark: SparkSession, dir: String): DataFrame =
+    Shapefile.read(spark, s"$dir/ROUTE.shp").select(
+      G.stMakeValid(col("the_geom")).as("the_geom"),
+      Shapefile.attr("id").as("id_source"),
+      Shapefile.attr("largeur").try_cast("double").as("width"),
+      Shapefile.attr("nature").as("type"),
+      Shapefile.attr("pos_sol").try_cast("int").as("zindex"),
+      Shapefile.attr("franchisst").as("crossing"),
+      Shapefile.attr("sens").as("direction"),
+      when(Shapefile.attr("importance").isin("1", "2", "3", "4", "5"),
+        Shapefile.attr("importance").cast("int")).as("rank"),
+      Shapefile.attr("nb_voies").try_cast("int").as("nb_voies"))
+      .where(col("zindex") >= 0 &&
+        (col("type").isNull || !col("type").isin("Bac auto", "Bac piéton", "Escalier")))
+
+  /** formatRoadLayer (bdtopo InputDataFormatting.groovy:408-619): NATURE
+    * switch with the rank-dependent maxspeed rules (Groovy null <= 4 is
+    * TRUE, so a missing rank on 'Route à 1 chaussée' reads 80), width
+    * override only for non-null non-zero widths, FRANCHISST crossing with
+    * the zindex rewrite, SENS direction codes, and the zindex>=0 AND
+    * type != 'path' gate. */
+  def formatRoadLayer(raw: DataFrame, zoneId: String): DataFrame = {
+    val nature = element_at(typedLit(RoadNature.view.mapValues(_._1).toMap), col("type"))
+    val baseSpeed = element_at(typedLit(RoadNature.view.mapValues(_._2).toMap), col("type"))
+    val surface = element_at(typedLit(RoadNature.view.mapValues(_._3).toMap), col("type"))
+    val qType = coalesce(nature, lit("unclassified"))
+    val maxspeed =
+      when(col("type") === "Route à 2 chaussées",
+        when(col("rank") === 6, 0).when(col("rank") === 5, 30).otherwise(80))
+        .when(col("type") === "Route à 1 chaussée",
+          when(col("rank") === 6, 0).when(col("rank") === 5, 30)
+            .when(col("rank").isNull || col("rank") <= 4, 80).otherwise(50))
+        .otherwise(coalesce(baseSpeed, lit(50)))
+    val defWidth = element_at(typedLit(RoadTypeWidth), qType) // null for 'bridge'
+    val qWidth = when(col("width").isNotNull && col("width") =!= 0, col("width"))
+      .otherwise(defWidth)
+    val qCrossing = when(col("crossing") === "Gué ou radier", "crossing")
+      .when(col("crossing") === "Pont", "bridge")
+      .otherwise(lit(null).cast("string"))
+    val qZindex = when(col("crossing") === "Gué ou radier", 0)
+      .when(col("crossing") === "Pont" &&
+        (col("zindex").isNull || col("zindex") === 0), 1)
+      .otherwise(col("zindex"))
+    val dir3 = when(col("direction") === "Double", 3)
+      .when(col("direction") === "Direct", 1)
+      .when(col("direction") === "Inverse", 2).otherwise(-1)
+    val kept = raw.select(col(zoneId), col("id_source"), col("the_geom"),
+        qType.as("type"), qWidth.as("width"), qCrossing.as("crossing"),
+        coalesce(surface, lit("asphalt")).as("surface"), lit("no").as("sidewalk"),
+        maxspeed.as("maxspeed"), dir3.as("direction"), col("nb_voies").as("lanes"),
+        qZindex.as("zindex"), lit(0).as("tunnel"))
+      .where(col("zindex") >= 0 && col("type") =!= "path")
+      .select(col(zoneId), col("id_source"),
+        posexplode(G.stExplode(col("the_geom"))).as(Seq("__part", "the_geom")),
+        col("width"), col("type"), col("crossing"), col("surface"), col("sidewalk"),
+        col("maxspeed"), col("direction"), col("lanes"), col("zindex"), col("tunnel"))
+      .where(!G.stIsEmpty(col("the_geom")))
+    OsmLayers.denseIds(kept, zoneId, Seq(col("id_source"), col("__part")), "id_road")
+      .select(col(zoneId), col("the_geom"), col("id_road"), col("id_source"),
+        col("width"), col("type"), col("crossing"), col("surface"), col("sidewalk"),
+        col("maxspeed"), col("direction"), col("lanes"), col("zindex"), col("tunnel"))
+  }
+
+  // ---- water --------------------------------------------------------------
+
+  val WaterNature: Map[String, String] = Map(
+    "Aqueduc" -> "aqueduct", "Canal" -> "canal", "Delta" -> "bay",
+    "Ecoulement canalisé" -> "canal", "Ecoulement endoréique" -> "water",
+    "Ecoulement hyporhéique" -> "water", "Ecoulement karstique" -> "water",
+    "Ecoulement naturel" -> "water", "Ecoulement phréatique" -> "water",
+    "Estuaire" -> "bay", "Inconnue" -> "water", "Lac" -> "lake",
+    "Lagune" -> "lagoon", "Mangrove" -> "mangrove", "Mare" -> "pond",
+    "Plan d'eau de gravière" -> "pond", "Plan d'eau de mine" -> "basin",
+    "Ravine" -> "water", "Réservoir-bassin" -> "basin",
+    "Réservoir-bassin d'orage" -> "basin", "Réservoir-bassin piscicole" -> "basin",
+    "Retenue" -> "basin", "Retenuebarrage" -> "basin", "Retenue-barrage" -> "basin",
+    "Retenue-bassin portuaire" -> "basin", "Retenue-digue" -> "basin",
+    "Surface d'eau" -> "water", "Bassin" -> "basin")
+
+  def loadWater(spark: SparkSession, dir: String): DataFrame =
+    Shapefile.read(spark, s"$dir/SURFACE_EAU.shp").select(
+      G.stMakeValid(col("the_geom")).as("the_geom"),
+      Shapefile.attr("id").as("id_source"),
+      Shapefile.attr("nature").as("type"),
+      Shapefile.attr("regime").as("regime"))
+
+  /** formatHydroLayer (bdtopo InputDataFormatting.groovy:619-695): NATURE
+    * dictionary (unmapped rows drop), intermittent = non-Permanent regime,
+    * zindex 0, polygon parts with area > 1. */
+  def formatHydroLayer(raw: DataFrame, zoneId: String): DataFrame = {
+    val typ = element_at(typedLit(WaterNature), col("type"))
+    val kept = raw.select(col(zoneId), col("id_source"), col("the_geom"),
+        typ.as("type"),
+        coalesce(col("regime").isNotNull && col("regime") =!= "Permanent", lit(false))
+          .as("intermittent"),
+        lit(0).as("zindex"))
+      .where(col("type").isNotNull)
+      .select(col(zoneId), col("id_source"),
+        posexplode(G.stExplode(col("the_geom"))).as(Seq("__part", "the_geom")),
+        col("type"), col("intermittent"), col("zindex"))
+      .where(G.stDimension(col("the_geom")) === 2 && G.stArea(col("the_geom")) > 1)
+    OsmLayers.denseIds(kept, zoneId, Seq(col("id_source"), col("__part")), "id_water")
+      .select(col(zoneId), col("the_geom"), col("id_water"), col("id_source"),
+        col("type"), col("intermittent"), col("zindex"))
+  }
+
+  // ---- rails --------------------------------------------------------------
+
+  val RailNature: Map[String, String] = Map(
+    "LGV" -> "highspeed", "Principale" -> "rail", "Voie ferrée principale" -> "rail",
+    "Voie de service" -> "service_track", "Voie non exploitée" -> "disused",
+    "Transport urbain" -> "tram", "Funiculaire ou crémaillère" -> "funicular",
+    "Metro" -> "subway", "Métro" -> "subway", "Tramway" -> "tram",
+    "Pont" -> "bridge", "Tunnel" -> "tunnel") // 'Sans objet'/'NC' → null
+
+  def loadRails(spark: SparkSession, dir: String): DataFrame =
+    Shapefile.read(spark, s"$dir/TRONCON_VOIE_FERREE.shp").select(
+      G.stMakeValid(col("the_geom")).as("the_geom"),
+      Shapefile.attr("id").as("id_source"),
+      Shapefile.attr("nature").as("type"),
+      Shapefile.attr("pos_sol").try_cast("int").as("zindex"),
+      Shapefile.attr("franchisst").as("crossing"),
+      when(coalesce(Shapefile.attr("nb_voies").try_cast("int"), lit(0)) === 0, 1.435)
+        .otherwise(lit(1.435) * Shapefile.attr("nb_voies").try_cast("int")).as("width"))
+      .where(col("zindex") >= 0)
+
+  /** formatRailsLayer (bdtopo InputDataFormatting.groovy:704-800): NATURE
+    * dictionary ('Sans objet'/'NC' drop, missing NATURE → unclassified),
+    * usage 'main' for highspeed/rail/tram/bridge, width+1 ballast (or the
+    * 2.435 standard-gauge default when width is 0/absent), FRANCHISST
+    * crossing through the SAME dictionary (so 'Tunnel' is a legal crossing). */
+  def formatRailsLayer(raw: DataFrame, zoneId: String): DataFrame = {
+    val typ = when(col("type").isNotNull, element_at(typedLit(RailNature), col("type")))
+      .otherwise("unclassified")
+    val usage = when(typ.isin("highspeed", "rail", "tram", "bridge"), "main")
+      .otherwise(lit(null).cast("string"))
+    val kept = raw.select(col(zoneId), col("id_source"), col("the_geom"),
+        typ.as("type"), usage.as("usage"),
+        element_at(typedLit(RailNature), col("crossing")).as("crossing"),
+        coalesce(col("zindex"), lit(0)).as("zindex"),
+        when(col("width").isNull || col("width") === 0, 1.435 + 1)
+          .otherwise(col("width") + 1).as("width"))
+      .where(col("zindex") >= 0 && col("type").isNotNull)
+      .select(col(zoneId), col("id_source"),
+        posexplode(G.stExplode(col("the_geom"))).as(Seq("__part", "the_geom")),
+        col("type"), col("crossing"), col("zindex"), col("width"), col("usage"))
+      .where(!G.stIsEmpty(col("the_geom")))
+    OsmLayers.denseIds(kept, zoneId, Seq(col("id_source"), col("__part")), "id_rail")
+      .select(col(zoneId), col("the_geom"), col("id_rail"), col("id_source"),
+        col("type"), col("crossing"), col("zindex"), col("width"), col("usage"))
+  }
+
+  // ---- vegetation ---------------------------------------------------------
+
+  val VegetationNature: Map[String, String] = Map(
+    "Zone arborée" -> "wood", "Forêt fermée de feuillus" -> "forest",
+    "Forêt fermée mixte" -> "forest", "Forêt fermée de conifères" -> "forest",
+    "Forêt ouverte" -> "forest", "Peupleraie" -> "forest", "Haie" -> "hedge",
+    "Lande ligneuse" -> "heath", "Verger" -> "orchard", "Vigne" -> "vineyard",
+    "Bois" -> "forest", "Bananeraie" -> "banana_plants", "Mangrove" -> "mangrove",
+    "Canne à sucre" -> "sugar_cane", "Houblonnière" -> "hops",
+    "Rizière" -> "rice_field", "Piste en herbe" -> "grass",
+    "Terrain de football" -> "grass", "Terrain de rugby" -> "grass",
+    "Marais" -> "marsh")
+
+  val VegetationClass: Map[String, String] = Map(
+    "tree" -> "high", "wood" -> "high", "forest" -> "high", "scrub" -> "low",
+    "grassland" -> "low", "heath" -> "low", "tree_row" -> "high", "hedge" -> "high",
+    "mangrove" -> "high", "orchard" -> "high", "vineyard" -> "low",
+    "banana_plants" -> "high", "sugar_cane" -> "low", "unclassified" -> "low",
+    "hops" -> "low", "rice_field" -> "low", "grass" -> "low", "marsh" -> "low")
+
+  def loadVegetation(spark: SparkSession, dir: String): DataFrame =
+    Shapefile.read(spark, s"$dir/ZONE_VEGETATION.shp").select(
+      G.stMakeValid(col("the_geom")).as("the_geom"),
+      Shapefile.attr("id").as("id_source"),
+      Shapefile.attr("nature").as("type"))
+
+  /** formatVegetationLayer (bdtopo InputDataFormatting.groovy:802-909):
+    * NATURE dictionary (missing NATURE → unclassified; unmapped NATURE →
+    * NULL type kept, like the reference's insertion of a null lookup),
+    * height class per mapped type, zindex 0, polygon parts with area > 1. */
+  def formatVegetationLayer(raw: DataFrame, zoneId: String): DataFrame = {
+    val typ = when(col("type").isNotNull, element_at(typedLit(VegetationNature), col("type")))
+      .otherwise("unclassified")
+    val kept = raw.select(col(zoneId), col("id_source"), col("the_geom"),
+        typ.as("type"),
+        element_at(typedLit(VegetationClass), typ).as("height_class"),
+        lit(0).as("zindex"))
+      .select(col(zoneId), col("id_source"),
+        posexplode(G.stExplode(col("the_geom"))).as(Seq("__part", "the_geom")),
+        col("type"), col("height_class"), col("zindex"))
+      .where(G.stDimension(col("the_geom")) === 2 && G.stArea(col("the_geom")) > 1)
+    OsmLayers.denseIds(kept, zoneId, Seq(col("id_source"), col("__part")), "id_veget")
+      .select(col(zoneId), col("the_geom"), col("id_veget"), col("id_source"),
+        col("type"), col("height_class"), col("zindex"))
+  }
 }

@@ -43,4 +43,61 @@ class BdTopoSpec extends SparkTestBase {
     val est = out.where(col("estimated")).count()
     assert(est > 0 && est < n)
   }
+
+  // the reference's two-step zone handling: rows are FILTERED by the
+  // commune polygon at load (BDTopoV2Workflow.groovy:129 geomToExtract),
+  // then geometry is CLIPPED to zone_extended = ST_EXPAND(commune, 0) — the
+  // envelope — at format time (InputDataLoading.groovy:215,
+  // BDTopoV2Workflow.groovy:268-276); part explosion follows the bbox clip
+  private def commune = Shapefile.read(spark, s"$dir/COMMUNE.shp")
+    .select(G.stMakeValid(col("the_geom")).as("the_geom")).localCheckpoint()
+  private def polygonFiltered(df: org.apache.spark.sql.DataFrame) = {
+    val z = broadcast(commune.select(col("the_geom").as("__cg")))
+    df.crossJoin(z).where(G.stIntersects(col("__cg"), col("the_geom"))).drop("__cg")
+  }
+  private def communeEnv = commune.select(G.stEnvelope(col("the_geom")).as("the_geom"))
+
+  test("roads: nature switch, crossings, widths (reference invariants)") {
+    val out = BdTopo.formatRoadLayer(
+      BdTopo.clipLinesToZone(polygonFiltered(BdTopo.loadRoads(spark, dir)), communeEnv)
+        .withColumn("id_zone", lit(1)), "id_zone")
+      .localCheckpoint()
+    val n = out.count()
+    assert(n > 1000) // 1021 commune segments after the two-step zone handling
+    info(s"roads: $n, crossings: " +
+      out.where(col("crossing").isin("bridge", "crossing")).count())
+    // reference invariants (WorkflowBDTopoV2Test testFormatData)
+    assert(out.where(col("width") === 0).count() == 0)
+    assert(out.where(col("type").isNull).count() == 0)
+    assert(out.where(col("maxspeed") < -1).count() == 0)
+    assert(out.where(!col("zindex").between(-4, 4)).count() == 0)
+    assert(out.where(G.stIsEmpty(col("the_geom"))).count() == 0)
+    assert(out.where(col("type") === "path").count() == 0)
+    // the reference counts 24 bridge/ford crossings on this commune (its run
+    // clips to the zone; the raw extract carries the same crossing rows)
+    assert(out.where(col("crossing").isin("bridge", "crossing")).count() == 24)
+  }
+
+  test("rails, water, vegetation: dictionary formatting invariants") {
+    val rails = BdTopo.formatRailsLayer(
+      BdTopo.clipLinesToZone(polygonFiltered(BdTopo.loadRails(spark, dir)), communeEnv)
+        .withColumn("id_zone", lit(1)), "id_zone")
+      .localCheckpoint()
+    assert(rails.count() > 0)
+    assert(rails.where(col("width") === 0 || col("type").isNull).count() == 0)
+    assert(rails.where(col("crossing").isNotNull).count() == 2) // reference golden
+    val water = BdTopo.formatHydroLayer(
+      BdTopo.loadWater(spark, dir).withColumn("id_zone", lit(1)), "id_zone")
+      .localCheckpoint()
+    assert(water.count() > 0)
+    assert(water.where(col("type").isNull).count() == 0)
+    assert(water.select("type").distinct().count() >= 1)
+    val veg = BdTopo.formatVegetationLayer(
+      BdTopo.loadVegetation(spark, dir).withColumn("id_zone", lit(1)), "id_zone")
+      .localCheckpoint()
+    assert(veg.count() > 2000)
+    assert(veg.where(col("height_class").isNull && col("type").isNotNull
+      && col("type").isin(BdTopo.VegetationClass.keys.toSeq: _*)).count() == 0)
+    assert(veg.where(col("zindex") =!= 0).count() == 0)
+  }
 }
