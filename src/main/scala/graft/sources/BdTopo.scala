@@ -353,4 +353,85 @@ object BdTopo {
       .select(col(zoneId), col("the_geom"), col("id_veget"), col("id_source"),
         col("type"), col("height_class"), col("zindex"))
   }
+
+  // ---- impervious + urban areas -------------------------------------------
+
+  /** SURFACE_ACTIVITE CATEGORIE → type (InputDataLoading.groovy:288-296). */
+  val ActivityCategory: Map[String, String] = Map(
+    "Administratif" -> "government", "Enseignement" -> "education",
+    "Santé" -> "healthcare", "Culture et loisirs" -> "entertainment_arts_culture",
+    "Transport" -> "transport", "Industriel ou commercial" -> "commercial",
+    "Gestion des eaux" -> "industrial", "Sport" -> "sport")
+
+  /** The impervious weight map — NOTE the reference picks
+    * `subMap(types).max { it.key }.key`, i.e. the alphabetically LARGEST
+    * known type; the weights themselves are inert (replicated as-is). */
+  val ImperviousKnownTypes: Set[String] = Set(
+    "government", "entertainment_arts_culture", "education", "military",
+    "industrial", "commercial", "healthcare", "transport", "building",
+    "sport", "cemetery", "religious")
+
+  /** INPUT_IMPERVIOUS (InputDataLoading.groovy:306-330): sport grounds,
+    * protective slabs/dams/locks, road surfaces, activity surfaces (their
+    * 'unknown' rows KEPT here), hard runways. */
+  def loadImpervious(spark: SparkSession, dir: String): DataFrame = {
+    def lyr(name: String, pred: Column, typ: Column): DataFrame =
+      Shapefile.read(spark, s"$dir/$name.shp")
+        .where(pred)
+        .select(G.stMakeValid(col("the_geom")).as("the_geom"),
+          Shapefile.attr("id").as("id_source"), typ.as("type"))
+    lyr("TERRAIN_SPORT", Shapefile.attr("nature").isin("Piste de sport", "Indifférencié"), lit("sport"))
+      .unionByName(lyr("CONSTRUCTION_SURFACIQUE",
+        Shapefile.attr("nature").isin("Barrage", "Ecluse", "Dalle de protection"), lit("building")))
+      .unionByName(lyr("SURFACE_ROUTE", lit(true), lit("transport")))
+      .unionByName(lyr("SURFACE_ACTIVITE", lit(true),
+        coalesce(element_at(typedLit(ActivityCategory), Shapefile.attr("categorie")), lit("unknown"))))
+  }
+
+  /** INPUT_URBAN_AREAS (InputDataLoading.groovy:280-303): activity surfaces
+    * with a mapped category ('unknown' dropped), exploded. */
+  def loadUrbanAreas(spark: SparkSession, dir: String): DataFrame =
+    Shapefile.read(spark, s"$dir/SURFACE_ACTIVITE.shp")
+      .select(G.stMakeValid(col("the_geom")).as("the_geom"),
+        Shapefile.attr("id").as("id_source"),
+        element_at(typedLit(ActivityCategory), Shapefile.attr("categorie")).as("type"))
+      .where(col("type").isNotNull)
+
+  /**
+   * formatImperviousLayer (bdtopo InputDataFormatting.groovy:909-957):
+   * per-zone noded overlay of all impervious linework; each face collects
+   * the types of every polygon containing its point-on-surface; the face
+   * type is the alphabetically largest KNOWN type (the reference's
+   * subMap/max-by-key idiom — faces whose containing rows are all
+   * 'unknown' drop); polygon parts with area > 1.
+   */
+  def formatImperviousLayer(raw: DataFrame, zoneId: String,
+                            grid: graft.index.CellGrid, res: Int): DataFrame = {
+    import graft.operators.{SpatialJoin, SpatialUnits}
+    val faces = raw
+      .select(col(zoneId), G.stToMultiLine(col("the_geom")).as("the_geom"))
+      .groupBy(col(zoneId)).agg(collect_list(col("the_geom")).as("__gs"))
+      .select(col(zoneId), explode(SpatialUnits.polygonizeUdf(col("__gs"))).as("__face"))
+      .withColumn("__pos", G.stPointOnSurf(col("__face")))
+      .select(col(zoneId).as("__fz"), col("__face"),
+        G.stX(col("__pos")).as("__px"), G.stY(col("__pos")).as("__py"))
+    val typed = raw.select(col(zoneId), col("type").as("__t"), col("the_geom"))
+    val known = ImperviousKnownTypes
+    val pick = udf { (ts: Seq[String]) =>
+      val ks = ts.filter(known.contains).distinct
+      if (ks.isEmpty) null else ks.max // alphabetically largest, like the reference
+    }
+    val win = SpatialJoin.pointInPolygon(faces, "__px", "__py", typed, "the_geom", grid, res)
+      .where(col("__fz") === col(zoneId))
+      .groupBy(col(zoneId), col("__face"))
+      .agg(pick(collect_list(col("__t"))).as("type"))
+      .where(col("type").isNotNull)
+      .select(col(zoneId), col("type"),
+        explode(G.stExplode(col("__face"))).as("the_geom"))
+      .where(G.stDimension(col("the_geom")) === 2 && G.stArea(col("the_geom")) > 1)
+    OsmLayers.denseIds(win, zoneId,
+      Seq(col("type"), G.stX(G.stCentroid(col("the_geom"))),
+        G.stY(G.stCentroid(col("the_geom")))), "id_impervious")
+      .select(col(zoneId), col("the_geom"), col("id_impervious"), col("type"))
+  }
 }

@@ -100,4 +100,27 @@ class BdTopoSpec extends SparkTestBase {
       && col("type").isin(BdTopo.VegetationClass.keys.toSeq: _*)).count() == 0)
     assert(veg.where(col("zindex") =!= 0).count() == 0)
   }
+
+  test("impervious overlay + urban areas from activity surfaces") {
+    val grid = graft.index.CellGrid.fixture
+    val urban = BdTopo.loadUrbanAreas(spark, dir)
+    assert(urban.count() > 0)
+    assert(urban.where(col("type") === "unknown").count() == 0)
+    val imp = BdTopo.formatImperviousLayer(
+      BdTopo.loadImpervious(spark, dir).withColumn("id_zone", lit(1)), "id_zone",
+      grid, 8).localCheckpoint()
+    assert(imp.count() > 0)
+    // every face typed from the known set, alphabetically-largest pick
+    val types = imp.select("type").distinct().collect().map(_.getString(0)).toSet
+    assert(types.subsetOf(BdTopo.ImperviousKnownTypes))
+    assert(imp.where(G.stIsEmpty(col("the_geom"))).count() == 0)
+    // overlay faces never overlap each other (the point of the noding)
+    val a = imp.select(col("id_impervious").as("ia"), col("the_geom").as("ga"))
+    val b = imp.select(col("id_impervious").as("ib"), col("the_geom").as("gb"))
+    val overlaps = graft.operators.SpatialJoin.candidatesBbox(a, "ga", b, "gb", grid, 8)
+      .where(col("ia") < col("ib") && G.stOverlaps(col("ga"), col("gb")))
+      .withColumn("__ov", G.stIntersectionArea(col("ga"), col("gb")))
+      .where(col("__ov") > 1e-6).count()
+    assert(overlaps == 0)
+  }
 }
