@@ -113,7 +113,8 @@ object WorkflowRunner {
    */
   def rasterizeIndicators(layers: Layers, results: Results,
                           g: WorkflowConfig.GridParams,
-                          grid: CellGrid, res: Int): Option[DataFrame] =
+                          grid: CellGrid, res: Int,
+                          lczGrid: Option[DataFrame] = None): Option[DataFrame] =
     results.grid.map { cells0 =>
       val cells = cells0.localCheckpoint() // joined against several times
       val inds = g.indicators.map(_.trim.toUpperCase)
@@ -147,6 +148,25 @@ object WorkflowRunner {
             "type", types, grid, res, prefix = "type_fraction_")
             .drop("the_geom")
           out = out.join(tf, Seq("id_grid"), "left")
+        }
+      }
+      // LCZ-driven grid indicators, available when the caller supplies the
+      // classified grid (id_grid, lcz_primary) — LCZ itself is the
+      // Lcz.identifyLczType pipeline composed upstream
+      lczGrid.foreach { lcz =>
+        if (inds.contains("LCZ_PRIMARY"))
+          out = out.join(lcz.select(col("id_grid"), col("lcz_primary")),
+            Seq("id_grid"), "left")
+        val warmSizes = inds.collect {
+          case s if s.startsWith("COUNT_WARM_") => s.stripPrefix("COUNT_WARM_").toInt
+        }
+        if (warmSizes.nonEmpty) {
+          val cellsLcz = cells.select("id_grid", "id_row", "id_col")
+            .join(lcz.select(col("id_grid"), col("lcz_primary")), "id_grid")
+          out = out.join(
+            graft.indicators.GridIndicators.gridCountCellsWarm(cellsLcz,
+              "lcz_primary", warmSizes),
+            Seq("id_grid"), "left")
         }
       }
       out

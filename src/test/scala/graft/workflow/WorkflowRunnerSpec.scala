@@ -66,6 +66,22 @@ class WorkflowRunnerSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("rasterizeIndicators: LCZ-driven indicators from a supplied classified grid") {
+    val p = WorkflowConfig.parse(
+      """{"rsu_indicators": {"surface_vegetation": 2500, "surface_hydro": 2500},
+        |"grid_indicators": {"x_size": 50, "y_size": 50,
+        |  "indicators": ["LCZ_PRIMARY", "COUNT_WARM_1"]}}""".stripMargin)
+    val lyr = layers
+    val res = WorkflowRunner.run(spark, p, lyr, grid, 10)
+    val lcz = res.grid.get.select(col("id_grid"),
+      when(col("id_grid") % 2 === 0, 1).otherwise(101).as("lcz_primary"))
+    val rast = WorkflowRunner.rasterizeIndicators(
+      lyr, res, p.gridIndicators.get, grid, 10, lczGrid = Some(lcz)).get
+    assert(rast.columns.contains("lcz_primary"))
+    assert(rast.columns.exists(_.startsWith("count_warm_1")))
+    assert(rast.count() == res.grid.get.count())
+  }
+
   test("lake root makes the chain resumable: second run reads committed stages") {
     val root = Files.createTempDirectory("wf-lake").toString
     val p = WorkflowConfig.parse(
