@@ -143,10 +143,12 @@ object WorkflowRunner {
           // reference's SELECT DISTINCT — GenericIndicators.groovy:1035-1039)
           val types = layers.building.select("type").where(col("type").isNotNull)
             .distinct().collect().map(_.getString(0)).sorted.toSeq
+          // keep ONLY id + fraction columns: zonalAreaStats echoes every
+          // zone column, which would duplicate id_col/id_row in the join
           val tf = Tiling.zonalAreaStats(cells, "id_grid", "the_geom",
             layers.building.select(col("the_geom"), col("type")), "the_geom",
             "type", types, grid, res, prefix = "type_fraction_")
-            .drop("the_geom")
+            .select((col("id_grid") +: types.map(t => col(s"type_fraction_$t"))): _*)
           out = out.join(tf, Seq("id_grid"), "left")
         }
       }

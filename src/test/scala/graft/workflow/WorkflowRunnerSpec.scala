@@ -50,13 +50,18 @@ class WorkflowRunnerSpec extends SparkTestBase {
     val p = WorkflowConfig.parse(
       """{"rsu_indicators": {"surface_vegetation": 2500, "surface_hydro": 2500},
         |"grid_indicators": {"x_size": 50, "y_size": 50,
-        |  "indicators": ["BUILDING_HEIGHT", "BUILDING_NUMBER", "SVF"]}}""".stripMargin)
-    val lyr = layers
+        |  "indicators": ["BUILDING_HEIGHT", "BUILDING_NUMBER", "BUILDING_TYPE_FRACTION", "SVF"]}}""".stripMargin)
+    val lyr0 = layers
+    val lyr = lyr0.copy(building = lyr0.building
+      .withColumn("type", when(col("id_build") % 2 === 0, "residential").otherwise("commercial")))
     val res = WorkflowRunner.run(spark, p, lyr, grid, 10)
     val rast = WorkflowRunner.rasterizeIndicators(lyr, res, p.gridIndicators.get, grid, 10).get
     assert(rast.columns.toSet.intersect(
       Set("avg_height_roof", "std_height_roof", "building_number")).size == 3)
-    assert(!rast.columns.exists(_.startsWith("type_fraction_"))) // not requested
+    assert(rast.columns.count(_ == "id_col") == 1 && rast.columns.count(_ == "id_row") == 1)
+    assert(rast.columns.toSet.intersect(
+      Set("type_fraction_residential", "type_fraction_commercial")).size == 2)
+    assert(rast.agg(max(col("type_fraction_residential"))).head().getDouble(0) > 0)
     // counts cover the grid; totals match the building count routed to cells
     assert(rast.count() == res.grid.get.count())
     val totalB = rast.agg(sum("building_number")).head().getLong(0)
