@@ -78,10 +78,10 @@ object WorkflowRunner {
         tsu.select(col("id_rsu")), "id_rsu", "id_build",
         Map("volume" -> Seq(GenericIndicators.OpAvg, GenericIndicators.OpSum)))
     }
-    val traffic =
+    val traffic = // gated by config AND the presence of a road layer (the
+      // reference computes traffic only when the road table exists)
       if (params.roadTraffic)
-        Some(staged("road_traffic")(RoadIndicators.buildRoadTraffic(
-          layers.road.getOrElse(spark.emptyDataFrame))))
+        layers.road.map(r => staged("road_traffic")(RoadIndicators.buildRoadTraffic(r)))
       else None
     val gridDf = params.gridIndicators.map { g =>
       staged("grid") {
