@@ -119,22 +119,40 @@ object Bench {
       return
     }
 
-    // -- per-query timings at full parallelism. A failing query is REPORTED
-    //    (errors map + timing -1), never silently timed as if it ran. -------
+    // -- per-query timings at full parallelism, steal-gated like the scaling
+    //    windows (round-3 lesson: BENCH_r03's per-query section landed on a
+    //    host noise storm and shipped 10-70x inflated numbers unflagged).
+    //    Each query: warm run, then a timed window; if the host stole CPU
+    //    during the window, bounded re-runs; accept the MIN time (noise only
+    //    ever slows a run down). A query whose every window was noisy is
+    //    listed in "noisy_queries". A failing query is REPORTED (errors map
+    //    + timing -1), never silently timed as if it ran. ------------------
+    val stealMaxQ = 0.03
     val s32 = session(32)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         fn(s32, sfDir).count() // warm: JIT + codegen
-        val t0 = System.nanoTime()
-        fn(s32, sfDir).count()
-        (name, (System.nanoTime() - t0) / 1e9, None: Option[String])
+        var attempts = List.empty[(Double, Double)] // (sec, steal)
+        while (attempts.isEmpty ||
+               (attempts.forall(_._2 > stealMaxQ) && attempts.length < 3)) {
+          val c0 = readCpu()
+          val t0 = System.nanoTime()
+          fn(s32, sfDir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val steal = (for { (sa, ta) <- c0; (sb, tb) <- readCpu() if tb > ta }
+            yield (sb - sa).toDouble / (tb - ta)).getOrElse(0.0)
+          attempts ::= (sec, steal)
+        }
+        val noisy = attempts.forall(_._2 > stealMaxQ)
+        (name, attempts.map(_._1).min, None: Option[String], noisy)
       } catch {
         case e: Throwable =>
-          (name, -1.0, Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+          (name, -1.0, Some(Option(e.getMessage).getOrElse(e.getClass.getName)), false)
       }
     }
+    val noisyQueries = results.collect { case (n, _, _, true) => "\"" + n + "\"" }
     s32.stop()
-    val errors = results.collect { case (n, _, Some(msg)) =>
+    val errors = results.collect { case (n, _, Some(msg), _) =>
       "\"" + n + "\":\"" + msg.replaceAll("[\"\\\\\n\r\t]", " ").take(160) + "\""
     }
 
@@ -150,16 +168,17 @@ object Bench {
     val eff28 = (rps8a / rps2) / 4.0
     val eff832 = (rps32 / rps8b) / 4.0
 
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = results.collect { case (_, v, None, _) => v }.sum
     val scaling = f"""{"rows":$scaleRows,""" +
       f""""pair_2_8":{"cores_n":2,"cores_4n":8,"rows_per_sec_n":$rps2%.0f,"rows_per_sec_4n":$rps8a%.0f,"efficiency":$eff28%.3f,"min_steal_n":$st2%.4f,"min_steal_4n":$st8a%.4f},""" +
       f""""pair_8_32":{"cores_n":8,"cores_4n":32,"rows_per_sec_n":$rps8b%.0f,"rows_per_sec_4n":$rps32%.0f,"efficiency":$eff832%.3f,"min_steal_n":$st8b%.4f,"min_steal_4n":$st32%.4f},""" +
       f""""efficiency":$eff28%.3f}"""
     val errJson = if (errors.isEmpty) "" else errors.mkString(""","errors":{""", ",", "}")
+    val noisyJson = if (noisyQueries.isEmpty) "" else noisyQueries.mkString(""","noisy_queries":[""", ",", "]")
     println(s"""{"metric":"spatial_join_tile_assign_rows_per_sec","value":${f"$rps32%.0f"},""" +
       s""""unit":"rows/sec","queries":$qs,"sf":"$sfDir",""" +
-      f""""total_query_sec":$total%.3f,"scaling":$scaling$errJson}""")
+      f""""total_query_sec":$total%.3f,"scaling":$scaling$errJson$noisyJson}""")
   }
 }

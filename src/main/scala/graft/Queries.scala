@@ -221,12 +221,10 @@ object Queries {
         .orderBy("doc_id")
     }),
 
-    // -- exact deduplication (hash groupBy on full text) --------------------
+    // -- exact deduplication (fixed-width digest-keyed groupBy — the text
+    //    bytes never ride the shuffle; see Dedup.exact) ---------------------
     "dedup_exact" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .groupBy("text")
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"))
-        .select("doc_id", "dup_cnt")
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
 

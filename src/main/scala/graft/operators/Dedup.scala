@@ -15,10 +15,27 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Exact dedup: one representative (min id) per distinct text. */
+  /**
+   * Exact dedup: one representative (min id) per distinct text.
+   *
+   * Scale shape: the shuffle/grouping key is the fixed-width digest triple
+   * (xxhash64(text), md5(text), length(text)) — ~56 bytes — so the
+   * multi-KB text bytes NEVER ride the shuffle or sit in the aggregate
+   * hash map (grouping directly by text shuffles and compares the full
+   * corpus bytes; at 100 TB that is the whole corpus as grouping keys).
+   * Two independent digests + the exact length make a cross-algorithm
+   * collision (two DIFFERENT texts agreeing on xxhash64 AND md5 AND
+   * length) ~2^-192 — negligible below ~2^64 documents, which is why this
+   * is the standard practice for corpus-scale exact dedup.
+   */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(col(textCol))
+    docs.select(col(idCol),
+        xxhash64(col(textCol)).as("__h"),
+        md5(col(textCol).cast("binary")).as("__m"),
+        length(col(textCol)).as("__len"))
+      .groupBy("__h", "__m", "__len")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_cnt"))
+      .select(idCol, "dup_cnt")
 
   // ---- shingling ----------------------------------------------------------
   /**
@@ -71,10 +88,22 @@ object Dedup {
    * verify threshold are *meant* to be pruned.
    *
    * Returns (id_a, id_b, jaccard) with id_a < id_b, deduplicated.
+   *
+   * @param maxBucket hot-bucket bound (the band-join analogue of
+   *   [[ngramJaccardPairs]]'s `maxDf`): a (band, bucket) cell holding more
+   *   than `maxBucket` docs is dropped from candidate generation —
+   *   boilerplate-heavy web corpora put thousands of near-identical docs
+   *   into one band bucket, and the within-bucket self-join is quadratic in
+   *   bucket size. A pair loses candidacy only if EVERY band it shares is
+   *   over the cap (such docs sit in huge near-duplicate cliques where
+   *   keeping one representative per bucket-cap is the intended behavior);
+   *   the verify stage stays exact, so no false positives ever. None =
+   *   lossless LSH recall.
    */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 3, bands: Int = 16, rowsPerBand: Int = 3,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5,
+                 maxBucket: Option[Int] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
     // materialize the signature table once: the banded self-join would
     // otherwise re-evaluate the (interpreted, higher-order) shingle +
@@ -86,10 +115,18 @@ object Dedup {
       .localCheckpoint()
     // band join carries IDs ONLY — the shingle arrays (the heavy payload)
     // never ride the band shuffle; they re-attach for the verify stage
-    val banded = withSig.select(col("id"),
+    val banded0 = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // hot-bucket bound: the size census is one cheap count over the small
+    // (band, bucket) key space; joining it back prunes degenerate buckets
+    // BEFORE the quadratic within-bucket pairing
+    val banded = maxBucket.fold(banded0) { cap =>
+      val sizes = banded0.groupBy("band", "bucket").agg(count(lit(1)).as("__bsz"))
+      banded0.join(sizes.where(col("__bsz") <= cap).select("band", "bucket"),
+        Seq("band", "bucket"))
+    }
     val rhs = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val candIds = banded.join(rhs, Seq("band", "bucket"))
       .where(col("id") < col("id_b"))
@@ -138,18 +175,31 @@ object Dedup {
   /** SimHash near-dup pairs: candidates share one of 4 16-bit chunks
     * (any pair within Hamming distance 3 shares a chunk — pigeonhole, so
     * candidate generation is LOSSLESS for maxHamming <= 3);
-    * verified by exact Hamming distance <= maxHamming. */
+    * verified by exact Hamming distance <= maxHamming.
+    *
+    * @param maxBucket same hot-bucket bound as [[minhashLsh]]: a 16-bit
+    *   chunk value shared by more than `maxBucket` docs (near-constant
+    *   boilerplate at web scale) is dropped from candidate generation; a
+    *   pair loses candidacy only when ALL of its shared chunks are capped,
+    *   so the pigeonhole guarantee degrades only inside degenerate cliques.
+    *   Verify stays exact. None = lossless. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
-                   wordHash: Column => Column = xxhash64(_)): DataFrame = {
+                   wordHash: Column => Column = xxhash64(_),
+                   maxBucket: Option[Int] = None): DataFrame = {
     // materialized once: simhash64 is 64 interpreted aggregates per row —
     // never let the self-join recompute it per side
     val sh = docs.select(col(idCol).as("id"), simhash64(col(textCol), wordHash).as("h"))
       .localCheckpoint()
-    val chunked = sh.select(col("id"), col("h"),
+    val chunked0 = sh.select(col("id"), col("h"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("h"), c * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
+    val chunked = maxBucket.fold(chunked0) { cap =>
+      val sizes = chunked0.groupBy("chunk", "key").agg(count(lit(1)).as("__bsz"))
+      chunked0.join(sizes.where(col("__bsz") <= cap).select("chunk", "key"),
+        Seq("chunk", "key"))
+    }
     val rhs = chunked.select(col("chunk"), col("key"), col("id").as("id_b"), col("h").as("h_b"))
     chunked.join(rhs, Seq("chunk", "key"))
       .where(col("id") < col("id_b"))

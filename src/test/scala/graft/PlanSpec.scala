@@ -83,6 +83,17 @@ class PlanSpec extends SparkTestBase {
       unionAggLines.mkString("\n"))
   }
 
+  test("dedup_exact: shuffle key is the fixed-width digest triple, never the text bytes") {
+    val df = SparkEntry.queries("dedup_exact")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val partLines = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(partLines.nonEmpty, p.take(2000))
+    // every exchange partitions on the digest columns (__h/__m/__len), not
+    // on a raw text attribute
+    assert(partLines.forall(l => !l.contains("text#")), partLines.mkString("\n"))
+  }
+
   test("blocks_cc: no single-partition exchange (stable component labels as ids)") {
     val p = plan("blocks_cc")
     assert(!p.contains("Exchange SinglePartition"), p.take(3000))

@@ -66,6 +66,33 @@ class PipelineOpsSpec extends SparkTestBase {
     got.foreach(p => assert(brute(p) >= 0.5))
   }
 
+  test("hot-bucket cap: boilerplate clique is bounded, normal pairs unaffected") {
+    import spark.implicits._
+    // 500 identical boilerplate docs + the normal corpus: uncapped, the
+    // clique alone yields 500*499/2 ~ 125k candidate pairs per band; capped
+    // at 100, every boilerplate band bucket (size 500) drops out entirely
+    val boiler = (1000 until 1500).map(i => (i.toLong, "lorem ipsum dolor " * 10))
+    val mixed = docs.union(boiler.toDF("doc_id", "text"))
+    val capped = Dedup.minhashLsh(mixed, "doc_id", "text", k = 3, bands = 16,
+      rowsPerBand = 2, threshold = 0.5, maxBucket = Some(100))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // no boilerplate pair survives candidate generation (all its buckets are hot)
+    assert(!capped.exists { case (a, b) => a >= 1000L && b >= 1000L })
+    // the planted normal near-dup pairs are untouched (their buckets are tiny)
+    val brute = bruteJaccard(3)
+    brute.filter(_._2 >= 0.8).keySet.foreach(p => assert(capped.contains(p), s"lost $p"))
+    // a cap ABOVE the clique size keeps the clique's pairs (lossless regime)
+    val loose = Dedup.minhashLsh(mixed, "doc_id", "text", k = 3, bands = 16,
+      rowsPerBand = 2, threshold = 0.5, maxBucket = Some(1000))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(loose.contains((1000L, 1001L)))
+    // simhash: same cap discipline
+    val simCapped = Dedup.simhashPairs(mixed, "doc_id", "text", maxHamming = 3,
+      maxBucket = Some(100)).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!simCapped.exists { case (a, b) => a >= 1000L && b >= 1000L })
+    assert(simCapped.contains((0L, 200L)) && simCapped.contains((1L, 201L)))
+  }
+
   test("simhashPairs: identical docs have hamming 0; verified pairs respect bound") {
     import spark.implicits._
     val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
