@@ -113,6 +113,19 @@ object GeoFunctions {
   // -- linework helpers (facade distributions) --
   /** ST_TOMULTILINE: polygon boundary (exterior + holes) as MultiLineString. */
   val stToMultiLine = udf { (b: Array[Byte]) => Geo.toWkb(Geo.toMultiLine(Geo.fromWkb(b))) }
+
+  /** ST_CollectionExtract(g, 3): keep only the polygonal parts (an
+    * intersection of two polygons can emit points/lines on shared edges). */
+  val stCollectionExtractPolygons = udf { (b: Array[Byte]) =>
+    val g = Geo.fromWkb(b)
+    val polys = (0 until g.getNumGeometries).map(g.getGeometryN)
+      .filter(_.getDimension == 2)
+    Geo.toWkb(
+      if (polys.isEmpty) g.getFactory.createPolygon()
+      else if (polys.size == 1) polys.head
+      else g.getFactory.buildGeometry(scala.jdk.CollectionConverters
+        .SeqHasAsJava(polys).asJava))
+  }
   /** ST_CollectionExtract(geom, 2): the LineString members only. */
   val stLines = udf { (b: Array[Byte]) => Geo.toWkb(Geo.linesOf(Geo.fromWkb(b))) }
   val stIsEmpty = udf { (b: Array[Byte]) => Geo.fromWkb(b).isEmpty }

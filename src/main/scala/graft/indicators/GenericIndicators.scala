@@ -210,6 +210,56 @@ object GenericIndicators {
    * - equality  : Perkins Skill Score vs uniform = Σ min(x_i, Σx/n)/Σx
    * - extremum  : index of the max bucket (deterministic: first max)
    */
+  /**
+   * Distribution characterization over pivot COLUMNS with primary AND
+   * secondary extremum — the `keep2ndCol=true, keepColVal=true` shape the
+   * grid-LCZ aggregation uses (GenericIndicators.groovy:448-646 via
+   * WorkflowGeoIndicators.groovy:1785-1830). Reference semantics:
+   *  - rows where the distribution columns are NULL (upper units with no
+   *    lower geometry) default to equality/uniqueness/extremum_val = -1 and
+   *    extremum cols = 'unknown';
+   *  - the Groovy sorts the row map ASC by value with a STABLE sort, then
+   *    takes the last two entries: ties resolve to the LATER column in
+   *    pivot order. (The reference's pivot order itself comes from a
+   *    SELECT DISTINCT — nondeterministic in H2 — so we fix it to the
+   *    caller's `cols` order, the correspondence-map order for LCZ.)
+   * Implemented per-row in Catalyst: array_sort over (value, index) structs
+   * reproduces the stable ascending sort exactly.
+   *
+   * @return idCol, equality_value, uniqueness_value, extremum_col,
+   *         extremum_col2, extremum_val
+   */
+  def distributionCharacterizationCols(df: DataFrame, cols: Seq[String],
+                                       idCol: String): DataFrame = {
+    val n = cols.length
+    require(n >= 2, "need at least two distribution columns")
+    val entries = array(cols.zipWithIndex.map { case (c, i) =>
+      struct(col(c).cast("double").as("v"), lit(i).as("i"))
+    }: _*)
+    // stable ascending by value: (v, i) lexicographic == Groovy stable sort
+    val sorted = array_sort(entries)
+    val tot = aggregate(sorted, lit(0.0), (acc, e) => acc + e.getField("v"))
+    val x1 = element_at(sorted, -1).getField("v")
+    val x2 = element_at(sorted, -2).getField("v")
+    val i1 = element_at(sorted, -1).getField("i")
+    val i2 = element_at(sorted, -2).getField("i")
+    val names = array(cols.map(lit): _*)
+    val anyNull = cols.map(col(_).isNull).reduce(_ || _)
+    df.select(
+      col(idCol),
+      // all-zero rows: the Groovy inserts NULL, and the final outer
+      // COALESCE(x, -1) turns it into -1 just like missing rows
+      when(anyNull || tot === 0, -1.0)
+        .otherwise(aggregate(sorted, lit(0.0),
+          (acc, e) => acc + least(e.getField("v"), tot / n)) / tot)
+        .as("equality_value"),
+      when(anyNull || x1 + x2 === 0, -1.0)
+        .otherwise(abs(x1 - x2) / (x1 + x2)).as("uniqueness_value"),
+      when(anyNull, "unknown").otherwise(element_at(names, i1 + 1)).as("extremum_col"),
+      when(anyNull, "unknown").otherwise(element_at(names, i2 + 1)).as("extremum_col2"),
+      when(anyNull, -1.0).otherwise(x1).as("extremum_val"))
+  }
+
   def distributionCharacterization(df: DataFrame, arrayCol: String, idCol: String): DataFrame = {
     val arr = col(arrayCol)
     val tot = aggregate(arr, lit(0.0), (acc, x) => acc + x)

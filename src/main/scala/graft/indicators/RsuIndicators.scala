@@ -80,16 +80,18 @@ object RsuIndicators {
 
   /** 0.5·free_external_facade_density/(1−building_density), null when
     * density=1 — RsuIndicators.groovy:383-404 (golden rsu1 = 0.672). */
-  def aspectRatio(rsu: DataFrame, facadeDensityCol: String, buildingDensityCol: String): DataFrame =
-    rsu.select(col("id_rsu"),
+  def aspectRatio(rsu: DataFrame, facadeDensityCol: String, buildingDensityCol: String,
+                  idCol: String = "id_rsu"): DataFrame =
+    rsu.select(col(idCol),
       when(col(buildingDensityCol) === 1, lit(null).cast("double"))
         .otherwise(lit(0.5) * col(facadeDensityCol) / (lit(1.0) - col(buildingDensityCol)))
         .as("aspect_ratio"))
 
   /** avg roof height / aspect ratio — RsuIndicators.groovy:2647-2667
     * (golden rsu1 = 7.5). */
-  def streetWidth(rsu: DataFrame, avgHeightRoofCol: String, aspectRatioCol: String): DataFrame =
-    rsu.select(col("id_rsu"),
+  def streetWidth(rsu: DataFrame, avgHeightRoofCol: String, aspectRatioCol: String,
+                  idCol: String = "id_rsu"): DataFrame =
+    rsu.select(col(idCol),
       when(col(aspectRatioCol) === 0, lit(null).cast("double"))
         .otherwise(col(avgHeightRoofCol) / col(aspectRatioCol)).as("street_width"))
 
@@ -140,14 +142,16 @@ object RsuIndicators {
 
   /** building_fraction + free_external_facade_density —
     * RsuIndicators.groovy:1890-1916. */
-  def buildingSurfaceDensity(rsu: DataFrame, fractionCol: String, facadeDensityCol: String): DataFrame =
-    rsu.select(col("id_rsu"),
+  def buildingSurfaceDensity(rsu: DataFrame, fractionCol: String, facadeDensityCol: String,
+                             idCol: String = "id_rsu"): DataFrame =
+    rsu.select(col(idCol),
       (col(fractionCol) + col(facadeDensityCol)).as("building_surface_density"))
 
   /** Davenport roughness class lookup — RsuIndicators.groovy:1276-1301
     * (goldens: 2.3 -> 8, 0.1 -> 4, null -> null). */
-  def effectiveTerrainRoughnessClass(rsu: DataFrame, lengthCol: String): DataFrame =
-    rsu.select(col("id_rsu"),
+  def effectiveTerrainRoughnessClass(rsu: DataFrame, lengthCol: String,
+                                     idCol: String = "id_rsu"): DataFrame =
+    rsu.select(col(idCol),
       when(col(lengthCol) < 0.0 || col(lengthCol).isNull, lit(null).cast("int"))
         .when(col(lengthCol) < 0.00035, 1)
         .when(col(lengthCol) < 0.01525, 2)
@@ -490,15 +494,16 @@ object RsuIndicators {
    */
   def effectiveTerrainRoughnessLength(facadeDistWithRsu: DataFrame,
                                       facadeCols: Seq[String],
-                                      geomMeanHeightCol: String): DataFrame = {
+                                      geomMeanHeightCol: String,
+                                      idCol: String = "id_rsu"): DataFrame = {
     // λf divides by (numberOfDirection/2 · area); facadeCols covers all
     // direction×layer cells, so nDir/2 = the number of distinct _d suffixes
     val nDirGroups = facadeCols.map(_.replaceAll(".*_d", "")).distinct.size
-    facadeDistWithRsu.select(col("id_rsu"),
+    facadeDistWithRsu.select(col(idCol),
       (facadeCols.map(col).reduce(_ + _) /
         (lit(nDirGroups.toDouble) * G.stArea(col("the_geom")))).as("__lf"),
       col(geomMeanHeightCol).as("__h"))
-      .select(col("id_rsu"),
+      .select(col(idCol),
         when(col("__lf") < 0.15,
           when(col("__lf") * col("__h") > 3, 3.0).otherwise(col("__lf") * col("__h")))
           .otherwise(when(lit(0.15) * col("__h") > 3, 3.0).otherwise(lit(0.15) * col("__h")))
@@ -513,9 +518,11 @@ object RsuIndicators {
    */
   def projectedFacadeDensityDir(facadeDistWithRsu: DataFrame,
                                 layerNames: Seq[String], dirNames: Seq[String],
-                                outPrefix: String = "projected_facade_density_dir_"): DataFrame =
-    facadeDistWithRsu.select(col("id_rsu") +: dirNames.map { d =>
-      (layerNames.map(l => col(s"projected_facade_area_distribution_${l}_$d")).reduce(_ + _)
+                                outPrefix: String = "projected_facade_density_dir_",
+                                inPrefix: String = "projected_facade_area_distribution_",
+                                idCol: String = "id_rsu"): DataFrame =
+    facadeDistWithRsu.select(col(idCol) +: dirNames.map { d =>
+      (layerNames.map(l => col(s"$inPrefix${l}_$d")).reduce(_ + _)
         / G.stArea(col("the_geom"))).as(s"$outPrefix$d")
     }: _*)
 

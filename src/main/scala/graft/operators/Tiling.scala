@@ -102,11 +102,18 @@ object Tiling {
    *        we take them as a parameter to keep the plan deterministic and
    *        one-pass, SURVEY §1.3).
    */
+  /** @param emptyAsNull reference `upperScaleAreaStatistics` semantics
+    *   (GenericIndicators.groovy:1092-1112): a zone with NO intersecting
+    *   lower geometry keeps NULL fractions (left-join null), while a zone
+    *   that intersects anything gets explicit 0s for absent classes —
+    *   downstream distribution characterization maps the all-null rows to
+    *   'unknown' defaults. */
   def zonalAreaStats(zones: DataFrame, zoneId: String, zoneGeom: String,
                      lower: DataFrame, lowGeom: String, classCol: String,
                      classValues: Seq[String], grid: CellGrid, res: Int,
                      prefix: String = "area_fraction_",
-                     broadcastLower: Boolean = false): DataFrame = {
+                     broadcastLower: Boolean = false,
+                     emptyAsNull: Boolean = false): DataFrame = {
     val cand = SpatialJoin.candidates(
       zones.select(col(zoneId), col(zoneGeom)), zoneGeom,
       lower.select(col(lowGeom).as("__lgeom"), col(classCol).as("__cls")), "__lgeom",
@@ -119,11 +126,14 @@ object Tiling {
       .agg(sum(col("__ia")))
     val renamed = classValues.foldLeft(areas) { (df, v) =>
       df.withColumnRenamed(v, s"$prefix$v")
-    }
+    }.withColumn("__present", lit(1))
     val out = zones.join(renamed, Seq(zoneId), "left")
     classValues.foldLeft(out) { (df, v) =>
       df.withColumn(s"$prefix$v",
-        coalesce(col(s"$prefix$v"), lit(0.0)) / G.stArea(col(zoneGeom)))
-    }
+        if (emptyAsNull)
+          when(col("__present").isNull, lit(null).cast("double"))
+            .otherwise(coalesce(col(s"$prefix$v"), lit(0.0)) / G.stArea(col(zoneGeom)))
+        else coalesce(col(s"$prefix$v"), lit(0.0)) / G.stArea(col(zoneGeom)))
+    }.drop("__present")
   }
 }

@@ -56,35 +56,46 @@ class WorkflowRunnerSpec extends SparkTestBase {
       .withColumn("type", when(col("id_build") % 2 === 0, "residential").otherwise("commercial")))
     val res = WorkflowRunner.run(spark, p, lyr, grid, 10)
     val rast = WorkflowRunner.rasterizeIndicators(lyr, res, p.gridIndicators.get, grid, 10).get
+    // BUILDING_NUMBER -> building + block number DENSITIES over cut
+    // buildings (reference NB_DENS semantics); BUILDING_HEIGHT -> avg/std
     assert(rast.columns.toSet.intersect(
-      Set("avg_height_roof", "std_height_roof", "building_number")).size == 3)
+      Set("avg_height_roof", "std_height_roof",
+        "building_number_density", "block_number_density")).size == 4)
     assert(rast.columns.count(_ == "id_col") == 1 && rast.columns.count(_ == "id_row") == 1)
-    assert(rast.columns.toSet.intersect(
-      Set("type_fraction_residential", "type_fraction_commercial")).size == 2)
-    assert(rast.agg(max(col("type_fraction_residential"))).head().getDouble(0) > 0)
-    // counts cover the grid; totals match the building count routed to cells
+    // TEB composition fractions (building types map into the TEB groups)
+    assert(rast.columns.contains("area_fraction_undefined_residential"))
+    assert(rast.columns.contains("floor_area_fraction_undefined_residential"))
     assert(rast.count() == res.grid.get.count())
-    val totalB = rast.agg(sum("building_number")).head().getLong(0)
-    assert(totalB == res.buildingTsu.select("id_build").distinct().count()
-      || totalB > 0) // every building routes to exactly one cell
-    assert(rast.where(col("building_number") > 0 && col("avg_height_roof").isNull)
+    assert(rast.agg(max(col("building_number_density"))).head().getDouble(0) > 0)
+    assert(rast.where(col("building_number_density") > 0 && col("avg_height_roof").isNull)
       .count() == 0)
+    assert(rast.columns.contains("svf"))
+    assert(rast.agg(min("svf")).head().getDouble(0) >= 0.0)
   }
 
-  test("rasterizeIndicators: LCZ-driven indicators from a supplied classified grid") {
+  test("rasterizeIndicators: LCZ-driven indicators aggregate the RSU LCZ layer") {
     val p = WorkflowConfig.parse(
       """{"rsu_indicators": {"surface_vegetation": 2500, "surface_hydro": 2500},
         |"grid_indicators": {"x_size": 50, "y_size": 50,
-        |  "indicators": ["LCZ_PRIMARY", "COUNT_WARM_1"]}}""".stripMargin)
+        |  "indicators": ["LCZ_FRACTION", "LCZ_PRIMARY", "COUNT_WARM_1"]}}""".stripMargin)
     val lyr = layers
     val res = WorkflowRunner.run(spark, p, lyr, grid, 10)
-    val lcz = res.grid.get.select(col("id_grid"),
-      when(col("id_grid") % 2 === 0, 1).otherwise(101).as("lcz_primary"))
+    // RSU-scale LCZ polygons: left half compact midrise (2), right half
+    // water (107) — built over the zone box
+    val rsuLcz = spark.range(2).select(
+      when(col("id") === 0, G.stMakeBox(lit(-20.0), lit(-20.0), lit(80.0), lit(70.0)))
+        .otherwise(G.stMakeBox(lit(80.0), lit(-20.0), lit(180.0), lit(70.0))).as("the_geom"),
+      when(col("id") === 0, 2).otherwise(107).as("lcz_primary"))
     val rast = WorkflowRunner.rasterizeIndicators(
-      lyr, res, p.gridIndicators.get, grid, 10, lczGrid = Some(lcz)).get
-    assert(rast.columns.contains("lcz_primary"))
-    assert(rast.columns.exists(_.startsWith("count_warm_1")))
+      lyr, res, p.gridIndicators.get, grid, 10, Some(rsuLcz), None, None).get
+    assert(rast.columns.contains("lcz_primary") && rast.columns.contains("lcz_secondary"))
+    assert(rast.columns.contains("lcz_primary_2") && rast.columns.contains("lcz_primary_107"))
+    assert(rast.columns.contains("count_warm_1") && rast.columns.contains("count_cells_1"))
     assert(rast.count() == res.grid.get.count())
+    // fully-covered halves classify to their class; fractions sum to 1
+    val row = rast.where(col("id_col") === 1 && col("id_row") === 1)
+      .select("lcz_primary", "lcz_primary_2").head()
+    assert(row.getInt(0) == 2 && math.abs(row.getDouble(1) - 1.0) < 1e-9)
   }
 
   test("lake root makes the chain resumable: second run reads committed stages") {
