@@ -93,12 +93,14 @@ object Queries6 {
     * vegetation/water scenes, Queries2). */
   private def vegRects(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").where(col("doc_id") < 400).select(
+      col("doc_id").as("id_veget"),
       (col("doc_id") % 20 * 7).cast("double").as("vx"),
       (floor(col("doc_id") / 20) % 20 * 7).cast("double").as("vy"),
       (col("doc_id") % 5 + 2).cast("double").as("vw"),
       (col("doc_id") * 3 % 5 + 2).cast("double").as("vh"))
-      .select(G.stMakeBox(col("vx"), col("vy"), col("vx") + col("vw"),
-        col("vy") + col("vh")).as("the_geom"),
+      .select(col("id_veget"),
+        G.stMakeBox(col("vx"), col("vy"), col("vx") + col("vw"),
+          col("vy") + col("vh")).as("the_geom"),
         lit("high").as("height_class"))
 
   private val vegSql =
@@ -109,12 +111,14 @@ object Queries6 {
 
   private def waterRects(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").where(col("doc_id") < 169).select(
+      col("doc_id").as("id_water"),
       (col("doc_id") % 13 * 11).cast("double").as("wx"),
       (floor(col("doc_id") / 13) % 13 * 11).cast("double").as("wy"),
       (col("doc_id") % 7 + 2).cast("double").as("ww"),
       (col("doc_id") * 7 % 7 + 2).cast("double").as("wh"))
-      .select(G.stMakeBox(col("wx"), col("wy"), col("wx") + col("ww"),
-        col("wy") + col("wh")).as("the_geom"))
+      .select(col("id_water"), lit(0).as("zindex"),
+        G.stMakeBox(col("wx"), col("wy"), col("wx") + col("ww"),
+          col("wy") + col("wh")).as("the_geom"))
 
   private val watSql =
     """wat AS (SELECT CAST(doc_id % 13 * 11 AS DOUBLE) AS wx,
@@ -207,9 +211,124 @@ object Queries6 {
       .withColumn("id_zone", lit(1))
   }
 
+  // ---- full computeAllGeoIndicators chain scene --------------------------
+  // Road mesh on the cell borders polygonizes into EXACTLY the 9 cells
+  // (TSU ids minted in (cx, cy) centroid order -> id_rsu = col*3 + row + 1);
+  // slot buildings are disjoint, so blocks are singletons (id_block =
+  // id_build) and every per-scale indicator is analytic.
+  private def e2eLayers(s: SparkSession, dir: String): WorkflowRunner.Layers = {
+    import s.implicits._
+    val road = (Seq(0, 50, 100, 150).map(p => s"LINESTRING($p 0, $p 150)") ++
+      Seq(0, 50, 100, 150).map(p => s"LINESTRING(0 $p, 150 $p)")).toDF("wkt")
+      .select(G.stGeomFromWkt(col("wkt")).as("the_geom"), lit(2.0).as("width"),
+        lit(0).as("zindex"), lit(null).cast("string").as("crossing"),
+        lit("primary").as("type"), lit(0).as("tunnel"))
+    WorkflowRunner.Layers(zone = zoneBox(s), building = slotBuildings(s, dir),
+      road = Some(road), vegetation = Some(vegRects(s, dir)),
+      water = Some(waterRects(s, dir)))
+  }
+
+  private def e2eChain(s: SparkSession, dir: String): graft.workflow.WorkflowChain.AllIndicators = {
+    val p = WorkflowConfig.Defaults.copy(indicatorUse = Seq("LCZ", "UTRF", "TEB"),
+      surfaceVegetation = 1e6, surfaceHydro = 1e6, svfSimplified = true)
+    graft.workflow.WorkflowChain.computeAllGeoIndicators(s, e2eLayers(s, dir), p,
+      grid, Res)
+  }
+
+  /** Oracle cells keyed by the chain's minted TSU ids. */
+  private val rcellsSql =
+    """rcells AS (SELECT CAST(range % 3 * 3 + range // 3 + 1 AS INTEGER) AS id_rsu,
+      |  CAST(range % 3 AS DOUBLE) * 50 AS cx, CAST(range // 3 AS DOUBLE) * 50 AS cy
+      |FROM range(0, 9))""".stripMargin
+
   // ========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- computeAllGeoIndicators, building scale (computeBuildingsIndicators
+    //    WorkflowGeoIndicators.groovy:44-148 + unit relations) -------------
+    "workflow_building_e2e" -> ((s, dir) => {
+      e2eChain(s, dir).buildingIndicators
+        .select(col("id_build"), col("id_block").cast("long").as("id_block"),
+          col("id_rsu").cast("int").as("id_rsu"),
+          round(col("area"), 9).as("area"), round(col("perimeter"), 9).as("perimeter"),
+          round(col("floor_area"), 9).as("floor_area"), round(col("volume"), 9).as("volume"),
+          round(col("total_facade_length"), 9).as("total_facade_length"),
+          round(col("passive_volume_ratio"), 9).as("passive_volume_ratio"),
+          round(col("contiguity"), 9).as("contiguity"),
+          round(col("common_wall_fraction"), 9).as("common_wall_fraction"),
+          col("number_building_neighbor").cast("long").as("number_building_neighbor"),
+          round(col("area_concavity"), 9).as("area_concavity"),
+          round(col("form_factor"), 9).as("form_factor"),
+          round(col("raw_compactness"), 9).as("raw_compactness"),
+          round(col("perimeter_convexity"), 9).as("perimeter_convexity"),
+          round(col("minimum_building_spacing"), 3).as("minimum_building_spacing"),
+          round(col("road_distance"), 3).as("road_distance"),
+          round(col("likelihood_large_building"), 6).as("likelihood_large_building"))
+        .orderBy("id_build")
+    }),
+
+    // -- computeAllGeoIndicators, block scale (computeBlockIndicators,
+    //    :153-244; singleton blocks on this scene) -------------------------
+    "workflow_block_e2e" -> ((s, dir) => {
+      e2eChain(s, dir).blockIndicators.get
+        .select(col("id_block").cast("long").as("id_block"),
+          col("id_rsu").cast("int").as("id_rsu"),
+          round(col("area"), 9).as("area"),
+          round(col("floor_area"), 9).as("floor_area"),
+          round(col("volume"), 9).as("volume"),
+          round(col("hole_area_density"), 9).as("hole_area_density"),
+          round(col("closingness"), 9).as("closingness"),
+          round(col("net_compactness"), 9).as("net_compactness"),
+          round(col("avg_height_roof_area_weighted"), 9).as("avg_height_roof_area_weighted"),
+          round(col("std_height_roof_area_weighted"), 9).as("std_height_roof_area_weighted"),
+          col("main_building_direction"),
+          round(col("building_direction_equality"), 9).as("building_direction_equality"),
+          round(col("building_direction_uniqueness"), 9).as("building_direction_uniqueness"))
+        .orderBy("id_block")
+    }),
+
+    // -- computeAllGeoIndicators, RSU scale (computeRSUIndicators, :302-744):
+    //    the gated LCZ/UTRF/TEB indicator surface on the composed chain ----
+    "workflow_rsu_e2e" -> ((s, dir) => {
+      e2eChain(s, dir).rsuIndicators
+        .select(col("id_rsu").cast("int").as("id_rsu"),
+          round(col("building_fraction"), 9).as("building_fraction"),
+          round(col("building_fraction_lcz"), 9).as("building_fraction_lcz"),
+          round(col("water_fraction_lcz"), 9).as("water_fraction_lcz"),
+          round(col("pervious_fraction_lcz"), 9).as("pervious_fraction_lcz"),
+          round(col("high_vegetation_fraction_lcz"), 9).as("high_vegetation_fraction_lcz"),
+          round(col("impervious_fraction_lcz"), 9).as("impervious_fraction_lcz"),
+          round(col("vegetation_fraction_utrf"), 9).as("vegetation_fraction_utrf"),
+          round(col("area"), 9).as("area"),
+          round(col("free_external_facade_density"), 9).as("free_external_facade_density"),
+          round(col("aspect_ratio"), 9).as("aspect_ratio"),
+          round(col("building_floor_area_density"), 9).as("building_floor_area_density"),
+          round(col("building_volume_density"), 9).as("building_volume_density"),
+          round(col("avg_volume"), 9).as("avg_volume"),
+          round(col("geom_avg_height_roof"), 6).as("geom_avg_height_roof"),
+          round(col("avg_height_roof"), 9).as("avg_height_roof"),
+          round(col("std_height_roof"), 6).as("std_height_roof"),
+          round(col("avg_number_building_neighbor"), 9).as("avg_number_building_neighbor"),
+          round(col("avg_minimum_building_spacing"), 6).as("avg_minimum_building_spacing"),
+          round(col("building_number_density"), 9).as("building_number_density"),
+          round(col("avg_height_roof_area_weighted"), 9).as("avg_height_roof_area_weighted"),
+          round(col("std_height_roof_area_weighted"), 6).as("std_height_roof_area_weighted"),
+          round(col("avg_nb_lev_area_weighted"), 9).as("avg_nb_lev_area_weighted"),
+          round(col("ground_linear_road_density"), 9).as("ground_linear_road_density"),
+          round(col("road_direction_distribution_d0_30"), 9).as("road_direction_distribution_d0_30"),
+          round(col("road_direction_distribution_d90_120"), 9).as("road_direction_distribution_d90_120"),
+          round(col("area_fraction_residential_lcz"), 9).as("area_fraction_residential_lcz"),
+          round(col("area_fraction_individual_housing"), 9).as("area_fraction_individual_housing"),
+          round(col("floor_area_fraction_individual_housing"), 9).as("floor_area_fraction_individual_housing"),
+          round(col("roof_fraction_distribution_h0_5"), 9).as("roof_fraction_distribution_h0_5"),
+          round(col("roof_fraction_distribution_h5_10"), 9).as("roof_fraction_distribution_h5_10"),
+          round(col("roof_fraction_distribution_h10_15"), 9).as("roof_fraction_distribution_h10_15"),
+          col("main_building_direction"),
+          round(col("building_direction_equality"), 9).as("building_direction_equality"),
+          round(col("building_direction_uniqueness"), 9).as("building_direction_uniqueness"))
+        .orderBy("id_rsu")
+    }),
 
     // -- terrain roughness chain on the grid: frontal-area index
     //    distribution → λf → Hanna&Britter z0 → Davenport class, plus the
@@ -516,7 +635,162 @@ object Queries6 {
       |FROM g ORDER BY id_grid""".stripMargin
   }
 
+  /** Shared e2e CTEs: buildings with minted TSU ids, pairwise spacing,
+    * road distances (bands on the cell borders). */
+  private val e2eBuildSql =
+    s"""be AS (SELECT gb.*,
+      |    CAST((id_build % 9) % 3 * 3 + (id_build % 9) // 3 + 1 AS INTEGER) AS id_rsu
+      |  FROM gb),
+      |sp AS (SELECT a.id_build, round(min(
+      |    sqrt(power(greatest(b.x0 - (a.x0 + a.w), a.x0 - (b.x0 + b.w), 0.0), 2)
+      |       + power(greatest(b.y0 - (a.y0 + a.h), a.y0 - (b.y0 + b.h), 0.0), 2))), 12) AS spacing
+      |  FROM gb a JOIN gb b ON a.id_build <> b.id_build GROUP BY 1),
+      |rd AS (SELECT id_build, least(
+      |    ${Seq(0, 50, 100, 150).map(l =>
+             s"greatest(0.0, ($l - 1) - (x0 + w), x0 - ($l + 1))").mkString(", ")},
+      |    ${Seq(0, 50, 100, 150).map(l =>
+             s"greatest(0.0, ($l - 1) - (y0 + h), y0 - ($l + 1))").mkString(", ")}) AS rdist
+      |  FROM gb)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "workflow_building_e2e" ->
+      s"""WITH $slotBuildingsSql, $e2eBuildSql
+        |SELECT b.id_build, CAST(b.id_build AS BIGINT) AS id_block, b.id_rsu,
+        |  round(b.w * b.h, 9) AS area, round(2 * (b.w + b.h), 9) AS perimeter,
+        |  round(b.w * b.h * b.lev, 9) AS floor_area,
+        |  round(b.w * b.h * 0.5 * (b.hw + b.hr), 9) AS volume,
+        |  round(2 * (b.w + b.h), 9) AS total_facade_length,
+        |  round(greatest(0.0, b.w - 6) * greatest(0.0, b.h - 6) / (b.w * b.h), 9)
+        |    AS passive_volume_ratio,
+        |  0.0 AS contiguity, 0.0 AS common_wall_fraction,
+        |  CAST(0 AS BIGINT) AS number_building_neighbor,
+        |  1.0 AS area_concavity,
+        |  round(b.w * b.h / power(2 * (b.w + b.h), 2), 9) AS form_factor,
+        |  round((2 * (b.w + b.h) * b.hw
+        |      + power(power(b.w * b.h, 2) + 4 * b.w * b.h * power(b.hr - b.hw, 2), 0.5)
+        |      + power(b.w * b.h, 0.5) * (b.hr - b.hw))
+        |    / power(b.w * b.h * (b.hw + b.hr) / 2, 2.0 / 3), 9) AS raw_compactness,
+        |  1.0 AS perimeter_convexity,
+        |  round(sp.spacing, 3) AS minimum_building_spacing,
+        |  round(rd.rdist, 3) AS road_distance,
+        |  round(1.0 / (1.0 + exp(6.5) * exp(-0.25 * sqrt(b.w * b.w + b.h * b.h))), 6)
+        |    AS likelihood_large_building
+        |FROM be b JOIN sp USING (id_build) JOIN rd USING (id_build)
+        |ORDER BY b.id_build""".stripMargin,
+
+    "workflow_block_e2e" ->
+      s"""WITH $slotBuildingsSql, $e2eBuildSql
+        |SELECT CAST(id_build AS BIGINT) AS id_block, id_rsu,
+        |  round(w * h, 9) AS area, round(w * h * lev, 9) AS floor_area,
+        |  round(w * h * 0.5 * (hw + hr), 9) AS volume,
+        |  0.0 AS hole_area_density, 0.0 AS closingness, 0.0 AS net_compactness,
+        |  round(hr, 9) AS avg_height_roof_area_weighted,
+        |  0.0 AS std_height_roof_area_weighted,
+        |  CASE WHEN h >= w THEN 'ang7_5' ELSE 'ang97_5' END AS main_building_direction,
+        |  round((least(h, (h + w) / 12) + least(w, (h + w) / 12)) / (h + w), 9)
+        |    AS building_direction_equality,
+        |  round(abs(h - w) / (h + w), 9) AS building_direction_uniqueness
+        |FROM be ORDER BY id_block""".stripMargin,
+
+    "workflow_rsu_e2e" -> {
+      def ov2(px: String, py: String, pw: String, ph: String) =
+        s"greatest(0.0, least($px + $pw, c.cx + 50) - greatest($px, c.cx))" +
+          s" * greatest(0.0, least($py + $ph, c.cy + 50) - greatest($py, c.cy))"
+      s"""WITH $slotBuildingsSql, $e2eBuildSql, $rcellsSql, $vegSql, $watSql,
+        |ab AS (SELECT c.id_rsu, sum(${ov2("b.x0", "b.y0", "b.w", "b.h")}) AS a
+        |  FROM rcells c CROSS JOIN gb b GROUP BY 1),
+        |av AS (SELECT c.id_rsu, sum(${ov2("v.vx", "v.vy", "v.vw", "v.vh")}) AS a
+        |  FROM rcells c CROSS JOIN veg v GROUP BY 1),
+        |aw AS (SELECT c.id_rsu, sum(${ov2("w.wx", "w.wy", "w.ww", "w.wh")}) AS a
+        |  FROM rcells c CROSS JOIN wat w GROUP BY 1),
+        |abv AS (SELECT c.id_rsu,
+        |    sum(greatest(0.0, least(b.x0+b.w, v.vx+v.vw, c.cx+50) - greatest(b.x0, v.vx, c.cx))
+        |      * greatest(0.0, least(b.y0+b.h, v.vy+v.vh, c.cy+50) - greatest(b.y0, v.vy, c.cy))) AS a
+        |  FROM rcells c CROSS JOIN gb b CROSS JOIN veg v GROUP BY 1),
+        |abw AS (SELECT c.id_rsu,
+        |    sum(greatest(0.0, least(b.x0+b.w, w.wx+w.ww, c.cx+50) - greatest(b.x0, w.wx, c.cx))
+        |      * greatest(0.0, least(b.y0+b.h, w.wy+w.wh, c.cy+50) - greatest(b.y0, w.wy, c.cy))) AS a
+        |  FROM rcells c CROSS JOIN gb b CROSS JOIN wat w GROUP BY 1),
+        |avw AS (SELECT c.id_rsu,
+        |    sum(greatest(0.0, least(v.vx+v.vw, w.wx+w.ww, c.cx+50) - greatest(v.vx, w.wx, c.cx))
+        |      * greatest(0.0, least(v.vy+v.vh, w.wy+w.wh, c.cy+50) - greatest(v.vy, w.wy, c.cy))) AS a
+        |  FROM rcells c CROSS JOIN veg v CROSS JOIN wat w GROUP BY 1),
+        |abvw AS (SELECT c.id_rsu,
+        |    sum(greatest(0.0, least(b.x0+b.w, v.vx+v.vw, w.wx+w.ww, c.cx+50) - greatest(b.x0, v.vx, w.wx, c.cx))
+        |      * greatest(0.0, least(b.y0+b.h, v.vy+v.vh, w.wy+w.wh, c.cy+50) - greatest(b.y0, v.vy, w.wy, c.cy))) AS a
+        |  FROM rcells c CROSS JOIN gb b CROSS JOIN veg v CROSS JOIN wat w GROUP BY 1),
+        |fr AS (SELECT c.id_rsu,
+        |    (ab.a - abw.a - abv.a + abvw.a) / 2500.0 AS bf,
+        |    (abv.a - abvw.a) / 2500.0 AS hvb,
+        |    avw.a / 2500.0 AS hvw,
+        |    (av.a - avw.a - abv.a + abvw.a) / 2500.0 AS hva,
+        |    (aw.a - avw.a) / 2500.0 AS wf
+        |  FROM rcells c JOIN ab USING (id_rsu) JOIN av USING (id_rsu) JOIN aw USING (id_rsu)
+        |  JOIN abv USING (id_rsu) JOIN abw USING (id_rsu) JOIN avw USING (id_rsu)
+        |  JOIN abvw USING (id_rsu)),
+        |bs AS (SELECT b.id_rsu,
+        |    sum(2 * (b.w + b.h) * b.hw) / 2500.0 AS fefd,
+        |    sum(b.w * b.h * b.lev) / 2500.0 AS fad,
+        |    sum(b.w * b.h * 0.5 * (b.hw + b.hr)) / 2500.0 AS vd,
+        |    avg(b.w * b.h * 0.5 * (b.hw + b.hr)) AS av_vol,
+        |    exp(avg(ln(b.hr))) AS gah,
+        |    avg(b.hr) AS avg_hr, stddev_pop(b.hr) AS std_hr,
+        |    count(*) / 2500.0 AS bnd,
+        |    sum(b.hr * b.w * b.h) AS swh, sum(b.hr * b.hr * b.w * b.h) AS swwh,
+        |    sum(b.lev * b.w * b.h) AS swl, sum(b.w * b.h) AS sa,
+        |    sum(CASE WHEN b.type IN ('house', 'apartments') THEN b.w * b.h ELSE 0 END) AS a_res,
+        |    sum(CASE WHEN b.type = 'house' THEN b.w * b.h ELSE 0 END) AS a_ih,
+        |    sum(CASE WHEN b.type = 'house' THEN b.w * b.h * b.lev ELSE 0 END) AS f_ih,
+        |    sum(b.w * b.h * b.lev) AS ftot,
+        |    sum(CASE WHEN b.hr >= 0 AND b.hr < 5 THEN b.w * b.h ELSE 0 END) AS r0,
+        |    sum(CASE WHEN b.hr >= 5 AND b.hr < 10 THEN b.w * b.h ELSE 0 END) AS r1,
+        |    sum(CASE WHEN b.hr >= 10 AND b.hr < 15 THEN b.w * b.h ELSE 0 END) AS r2,
+        |    sum(b.h) AS v0, sum(b.w) AS v6
+        |  FROM be b GROUP BY 1),
+        |spavg AS (SELECT b.id_rsu, avg(sp.spacing) AS av_sp
+        |  FROM be b JOIN sp USING (id_build) GROUP BY 1)
+        |SELECT c.id_rsu,
+        |  round(fr.bf, 9) AS building_fraction,
+        |  round(fr.bf + fr.hvb, 9) AS building_fraction_lcz,
+        |  round(fr.wf + fr.hvw, 9) AS water_fraction_lcz,
+        |  round(fr.hva + 0.0 + fr.wf + 0.0 + fr.hvw, 9) AS pervious_fraction_lcz,
+        |  round(fr.hva + 0.0 + fr.hvw + fr.hvb, 9) AS high_vegetation_fraction_lcz,
+        |  0.0 AS impervious_fraction_lcz,
+        |  round(fr.hva + 0.0 + 0.0 + fr.hvw + fr.hvb, 9) AS vegetation_fraction_utrf,
+        |  2500.0 AS area,
+        |  round(bs.fefd, 9) AS free_external_facade_density,
+        |  round(0.5 * bs.fefd / (1 - (fr.hvb + fr.bf)), 9) AS aspect_ratio,
+        |  round(bs.fad, 9) AS building_floor_area_density,
+        |  round(bs.vd, 9) AS building_volume_density,
+        |  round(bs.av_vol, 9) AS avg_volume,
+        |  round(bs.gah, 6) AS geom_avg_height_roof,
+        |  round(bs.avg_hr, 9) AS avg_height_roof,
+        |  round(bs.std_hr, 6) AS std_height_roof,
+        |  0.0 AS avg_number_building_neighbor,
+        |  round(spavg.av_sp, 6) AS avg_minimum_building_spacing,
+        |  round(bs.bnd, 9) AS building_number_density,
+        |  round(bs.swh / bs.sa, 9) AS avg_height_roof_area_weighted,
+        |  round(sqrt(greatest(bs.swwh / bs.sa - (bs.swh / bs.sa) * (bs.swh / bs.sa), 0.0)), 6)
+        |    AS std_height_roof_area_weighted,
+        |  round(bs.swl / bs.sa, 9) AS avg_nb_lev_area_weighted,
+        |  0.08 AS ground_linear_road_density,
+        |  100.0 AS road_direction_distribution_d0_30,
+        |  100.0 AS road_direction_distribution_d90_120,
+        |  round(bs.a_res / bs.sa, 9) AS area_fraction_residential_lcz,
+        |  round(bs.a_ih / bs.sa, 9) AS area_fraction_individual_housing,
+        |  round(bs.f_ih / bs.ftot, 9) AS floor_area_fraction_individual_housing,
+        |  round(bs.r0 / bs.sa, 9) AS roof_fraction_distribution_h0_5,
+        |  round(bs.r1 / bs.sa, 9) AS roof_fraction_distribution_h5_10,
+        |  round(bs.r2 / bs.sa, 9) AS roof_fraction_distribution_h10_15,
+        |  CASE WHEN bs.v0 >= bs.v6 THEN 'ang7_5' ELSE 'ang97_5' END AS main_building_direction,
+        |  round((least(bs.v0, (bs.v0 + bs.v6) / 12) + least(bs.v6, (bs.v0 + bs.v6) / 12))
+        |    / (bs.v0 + bs.v6), 9) AS building_direction_equality,
+        |  round(abs(greatest(bs.v0, bs.v6) - least(bs.v0, bs.v6)) / (bs.v0 + bs.v6), 9)
+        |    AS building_direction_uniqueness
+        |FROM rcells c JOIN fr USING (id_rsu) JOIN bs USING (id_rsu)
+        |JOIN spavg USING (id_rsu) ORDER BY c.id_rsu""".stripMargin
+    },
 
     "grid_roughness" -> gridRoughnessOracle,
     "grid_frontal_index" -> gridFrontalOracle,

@@ -79,6 +79,76 @@ class WorkflowChainSpec extends SparkTestBase {
     assert(sumDirect > 0)
   }
 
+  test("computeAllGeoIndicators: full gated column surface at every scale") {
+    import graft.workflow.{WorkflowChain, WorkflowConfig, WorkflowRunner}
+    val zone = spark.range(1).select(lit(1).as("id_zone"),
+      G.stMakeBox(lit(-20.0), lit(-20.0), lit(180.0), lit(70.0)).as("the_geom"))
+    val building = GeoFixture.buildingDf(spark)
+      .where(G.stX(G.stCentroid(col("the_geom"))) < 500)
+      .select("id_build", "the_geom", "height_wall", "height_roof", "nb_lev")
+      .withColumn("type", when(col("id_build") % 2 === 0, "house").otherwise("office"))
+      .localCheckpoint()
+    val road = GeoFixture.roadDf(spark).withColumn("tunnel", lit(0))
+      .withColumn("zindex", lit(0)).withColumn("crossing", lit(null).cast("string"))
+      .withColumn("type", lit("primary"))
+    val layers = WorkflowRunner.Layers(zone = zone, building = building,
+      road = Some(road), vegetation = Some(GeoFixture.vegetDf(spark)),
+      water = Some(GeoFixture.hydroDf(spark)))
+    val p = WorkflowConfig.Defaults.copy(indicatorUse = Seq("LCZ", "UTRF", "TEB"),
+      surfaceVegetation = 2500, surfaceHydro = 2500, svfSimplified = true)
+    val all = WorkflowChain.computeAllGeoIndicators(spark, layers, p,
+      CellGrid.fixture, 10)
+    // building scale: the reference's full UTRF+LCZ indicator set
+    val bCols = all.buildingIndicators.columns.toSet
+    Seq("area", "perimeter", "floor_area", "volume", "total_facade_length",
+      "passive_volume_ratio", "contiguity", "common_wall_fraction",
+      "number_building_neighbor", "area_concavity", "form_factor",
+      "raw_compactness", "perimeter_convexity", "minimum_building_spacing",
+      "road_distance", "likelihood_large_building", "id_block", "id_rsu")
+      .foreach(c => assert(bCols(c), s"building missing $c"))
+    // block scale
+    val blkCols = all.blockIndicators.get.columns.toSet
+    Seq("area", "floor_area", "volume", "hole_area_density", "closingness",
+      "net_compactness", "avg_height_roof_area_weighted",
+      "std_height_roof_area_weighted", "main_building_direction",
+      "building_direction_equality", "building_direction_uniqueness", "id_rsu")
+      .foreach(c => assert(blkCols(c), s"block missing $c"))
+    // RSU scale: fractions + combos + stats + facade/roughness/svf chain
+    val rCols = all.rsuIndicators.columns.toSet
+    Seq("building_fraction", "building_fraction_lcz", "pervious_fraction_lcz",
+      "impervious_fraction_lcz", "water_fraction_lcz",
+      "high_vegetation_fraction_lcz", "low_vegetation_fraction_lcz",
+      "vegetation_fraction_utrf", "road_fraction_utrf", "impervious_fraction_utrf",
+      "area", "free_external_facade_density", "aspect_ratio",
+      "building_floor_area_density", "building_volume_density", "avg_volume",
+      "geom_avg_height_roof", "avg_height_roof", "std_height_roof",
+      "avg_number_building_neighbor", "avg_minimum_building_spacing",
+      "building_number_density", "avg_height_roof_area_weighted",
+      "std_height_roof_area_weighted", "avg_nb_lev_area_weighted",
+      "ground_linear_road_density", "ground_sky_view_factor",
+      "effective_terrain_roughness_length", "effective_terrain_roughness_class",
+      "main_building_direction", "building_direction_equality",
+      "roof_fraction_distribution_h0_5", "non_vert_roof_density",
+      "projected_facade_area_distribution_h0_10_d0_30",
+      "area_fraction_residential_lcz", "area_fraction_individual_housing")
+      .foreach(c => assert(rCols(c), s"rsu missing $c"))
+    // LCZ classification lands on every RSU
+    val lcz = all.rsuLcz.get
+    assert(lcz.count() == all.rsuIndicators.count())
+    assert(lcz.where(col("lcz_primary").isNull).count() == 0)
+    // gatherScales (UTRF input surface): build_/block_ prefixed aggregates
+    val gathered = WorkflowChain.gatherScales(all.buildingIndicators,
+      all.blockIndicators.get, all.rsuIndicators, "RSU")
+    val gCols = gathered.columns.toSet
+    assert(gCols("build_avg_area") && gCols("build_std_area"))
+    assert(gCols("block_avg_hole_area_density") && gCols("block_std_volume"))
+    val gatheredB = WorkflowChain.gatherScales(all.buildingIndicators,
+      all.blockIndicators.get, all.rsuIndicators, "BUILDING")
+    assert(gatheredB.columns.contains("block_area")
+      && gatheredB.columns.contains("rsu_building_fraction_lcz"))
+    assert(gatheredB.count() == all.buildingIndicators.count())
+  }
+
   test("chain is deterministic across runs") {
     val (tsu1, _, rel1, agg1) = runChain()
     val (tsu2, _, rel2, agg2) = runChain()
