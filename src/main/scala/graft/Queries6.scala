@@ -330,6 +330,27 @@ object Queries6 {
         .orderBy("id_rsu")
     }),
 
+    // -- WorldPop asc source: ESRI ASCII grid round-trip through the
+    //    engine's writer (sink_asc counterpart) and the importAscGrid
+    //    reader (WorldPopExtract.groovy:80-115) — nodata cells skipped,
+    //    PK numbering in read order ---------------------------------------
+    "worldpop_grid" -> ((s, dir) => {
+      val vals = t(s, dir, "documents").where(col("doc_id") < 150).select(
+        (col("doc_id") % 20 + 1).cast("int").as("id_col"),
+        (floor(col("doc_id") / 20) + 1).cast("int").as("id_row"),
+        (col("doc_id").cast("double") / 4.0).as("pop"))
+      val tmp = java.nio.file.Files.createTempFile("worldpop", ".asc")
+      graft.operators.Tiling.writeAsc(vals, "pop", tmp.toString,
+        xll = 5.0, yll = -3.0, cellSize = 2.5, nCols = 20, nRows = 10)
+      val out = graft.sources.AscGrid.readAsc(s, tmp.toString)
+        .select(col("id_pop"), round(col("pop"), 9).as("pop"),
+          round(G.stX(G.stCentroid(col("the_geom"))), 9).as("cx"),
+          round(G.stY(G.stCentroid(col("the_geom"))), 9).as("cy"))
+        .orderBy("id_pop").localCheckpoint()
+      java.nio.file.Files.deleteIfExists(tmp)
+      out
+    }),
+
     // -- terrain roughness chain on the grid: frontal-area index
     //    distribution → λf → Hanna&Britter z0 → Davenport class, plus the
     //    directional projected facade densities (:2162-2210) ---------------
@@ -794,6 +815,16 @@ object Queries6 {
 
     "grid_roughness" -> gridRoughnessOracle,
     "grid_frontal_index" -> gridFrontalOracle,
+
+    "worldpop_grid" ->
+      """WITH g AS (SELECT doc_id % 20 + 1 AS c, doc_id // 20 + 1 AS r,
+        |    CAST(doc_id AS DOUBLE) / 4.0 AS pop
+        |  FROM documents WHERE doc_id < 150),
+        |n AS (SELECT *, row_number() OVER (ORDER BY r DESC, c ASC) AS id_pop FROM g)
+        |SELECT CAST(id_pop AS INTEGER) AS id_pop, round(pop, 9) AS pop,
+        |  round(5 + (c - 1) * 2.5 + 1.25, 9) AS cx,
+        |  round(-3 + (r - 1) * 2.5 + 1.25, 9) AS cy
+        |FROM n ORDER BY id_pop""".stripMargin,
 
     // same analytic replica as sprawl_distances (Queries4) — the composed
     // sprawlIndicators output carries identical distance columns
