@@ -211,6 +211,65 @@ object Queries6 {
       .withColumn("id_zone", lit(1))
   }
 
+  // ---- generic OSM transform scene ---------------------------------------
+  // Even docs: closed rectangle ways (5 ordered ring nodes); odd docs: open
+  // 3-node L chains. Tags: building (+height) on closed ways, building also
+  // on some OPEN ways (doc%5==0 — selected by tag but dropped by the
+  // closed-ring filter), highway on open ways, amenity/name on first-corner
+  // nodes. Node ids = doc*8+pos (unique per way corner).
+  private def osmScene(s: SparkSession, dir: String): OsmXmlTables = {
+    val d = col("doc_id")
+    val base = t(s, dir, "documents").select(d.as("doc_id"),
+      (d % 40 * 5).cast("double").as("x0"),
+      (floor(d / 40) * 5).cast("double").as("y0"),
+      (d % 4 + 2).cast("double").as("w"),
+      (floor(d / 4) % 4 + 2).cast("double").as("h"))
+    val closed = base.where(d % 2 === 0).select(col("doc_id").as("way_id"), explode(array(
+      struct(lit(0).as("pos"), col("x0").as("x"), col("y0").as("y")),
+      struct(lit(1).as("pos"), (col("x0") + col("w")).as("x"), col("y0").as("y")),
+      struct(lit(2).as("pos"), (col("x0") + col("w")).as("x"), (col("y0") + col("h")).as("y")),
+      struct(lit(3).as("pos"), col("x0").as("x"), (col("y0") + col("h")).as("y")),
+      struct(lit(4).as("pos"), col("x0").as("x"), col("y0").as("y")))).as("c"))
+    val open = base.where(d % 2 === 1).select(col("doc_id").as("way_id"), explode(array(
+      struct(lit(0).as("pos"), col("x0").as("x"), col("y0").as("y")),
+      struct(lit(1).as("pos"), (col("x0") + col("w")).as("x"), col("y0").as("y")),
+      struct(lit(2).as("pos"), (col("x0") + col("w")).as("x"), (col("y0") + col("h")).as("y")))).as("c"))
+    val corners = closed.unionAll(open)
+    val nodes = corners.select((col("way_id") * 8 + col("c.pos")).as("node_id"),
+      col("c.x").as("x"), col("c.y").as("y"))
+    val wayNodes = corners.select(col("way_id"), col("c.pos").as("pos"),
+      (col("way_id") * 8 + col("c.pos")).as("node_id"))
+    val wayTags = base.select(col("doc_id"), explode(array(
+      when(d % 2 === 0 || d % 5 === 0, struct(lit("building").as("tag_key"),
+        when(d % 4 === 0, "house").otherwise("yes").as("tag_value"))),
+      when(d % 2 === 0 && d % 4 === 0, struct(lit("height").as("tag_key"),
+        (d % 30 + 3).cast("string").as("tag_value"))),
+      when(d % 2 === 1, struct(lit("highway").as("tag_key"),
+        when(d % 3 === 0, "residential").when(d % 3 === 1, "primary")
+          .otherwise("track").as("tag_value"))))).as("t"))
+      .where(col("t").isNotNull)
+      .select(col("doc_id").as("way_id"), col("t.tag_key"), col("t.tag_value"))
+    val nodeTags = base.where(d % 7 === 0).select(
+      (col("doc_id") * 8).as("node_id"), explode(array(
+        struct(lit("amenity").as("tag_key"),
+          when(floor(d / 7) % 2 === 0, "school").otherwise("cafe").as("tag_value")),
+        when(d % 14 === 0, struct(lit("name").as("tag_key"),
+          concat(lit("n"), d).as("tag_value"))))).as("t"))
+      .where(col("t").isNotNull)
+      .select(col("node_id"), col("t.tag_key"), col("t.tag_value"))
+    val emptyRelMembers = s.range(0).select(col("id").as("id_relation"),
+      col("id").as("id_way"), lit("outer").as("role"), lit(0).as("way_order"))
+    val emptyRelTags = s.range(0).select(col("id").as("id_relation"),
+      lit("").as("tag_key"), lit("").as("tag_value"))
+    OsmXmlTables(nodes, nodeTags, wayNodes, wayTags, emptyRelMembers, emptyRelTags)
+  }
+
+  private type OsmXmlTables = graft.sources.OsmXml.Tables
+  private def OsmXmlTables(nodes: DataFrame, nodeTags: DataFrame,
+                           wayNodes: DataFrame, wayTags: DataFrame,
+                           relMembers: DataFrame, relTags: DataFrame) =
+    graft.sources.OsmXml.Tables(nodes, nodeTags, wayNodes, wayTags, relMembers, relTags)
+
   // ---- full computeAllGeoIndicators chain scene --------------------------
   // Road mesh on the cell borders polygonizes into EXACTLY the 9 cells
   // (TSU ids minted in (cx, cy) centroid order -> id_rsu = col*3 + row + 1);
@@ -328,6 +387,38 @@ object Queries6 {
           round(col("building_direction_equality"), 9).as("building_direction_equality"),
           round(col("building_direction_uniqueness"), 9).as("building_direction_uniqueness"))
         .orderBy("id_rsu")
+    }),
+
+    // -- generic osmtools transforms (Transform.groovy:47-186): tag-filtered
+    //    toPoints / toLines / toPolygons with columnsToKeep pivots ---------
+    "osm_to_polygons" -> ((s, dir) => {
+      val t6 = osmScene(s, dir)
+      graft.sources.OsmTransform.toPolygons(t6,
+        Seq(graft.sources.OsmTransform.TagFilter(Seq("building"))),
+        columnsToKeep = Seq("building", "height"))
+        .select(col("id"), col("building"), col("height"),
+          round(G.stArea(col("the_geom")), 9).as("area"),
+          round(G.stPerimeter(col("the_geom")), 9).as("perimeter"))
+        .orderBy("id")
+    }),
+    "osm_to_lines" -> ((s, dir) => {
+      val t6 = osmScene(s, dir)
+      graft.sources.OsmTransform.toLines(t6,
+        Seq(graft.sources.OsmTransform.TagFilter(Seq("highway"),
+          Seq("residential", "primary"))))
+        .select(col("id"), col("highway"),
+          round(G.stLength(col("the_geom")), 9).as("len"))
+        .orderBy("id")
+    }),
+    "osm_to_points" -> ((s, dir) => {
+      val t6 = osmScene(s, dir)
+      graft.sources.OsmTransform.toPoints(t6,
+        Seq(graft.sources.OsmTransform.TagFilter(Seq("amenity"))),
+        columnsToKeep = Seq("amenity", "name"))
+        .select(col("node_id"), col("amenity"), col("name"),
+          round(G.stX(col("the_geom")), 9).as("x"),
+          round(G.stY(col("the_geom")), 9).as("y"))
+        .orderBy("node_id")
     }),
 
     // -- WorldPop asc source: ESRI ASCII grid round-trip through the
@@ -815,6 +906,29 @@ object Queries6 {
 
     "grid_roughness" -> gridRoughnessOracle,
     "grid_frontal_index" -> gridFrontalOracle,
+
+    "osm_to_polygons" ->
+      """SELECT 'w' || doc_id AS id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'house' ELSE 'yes' END AS building,
+        |  CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id % 30 + 3 AS VARCHAR) ELSE NULL END AS height,
+        |  round(CAST(doc_id % 4 + 2 AS DOUBLE) * CAST((doc_id // 4) % 4 + 2 AS DOUBLE), 9) AS area,
+        |  round(2 * (CAST(doc_id % 4 + 2 AS DOUBLE) + CAST((doc_id // 4) % 4 + 2 AS DOUBLE)), 9)
+        |    AS perimeter
+        |FROM documents WHERE doc_id % 2 = 0 ORDER BY id""".stripMargin,
+
+    "osm_to_lines" ->
+      """SELECT 'w' || doc_id AS id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'residential' ELSE 'primary' END AS highway,
+        |  round(CAST(doc_id % 4 + 2 AS DOUBLE) + CAST((doc_id // 4) % 4 + 2 AS DOUBLE), 9) AS len
+        |FROM documents WHERE doc_id % 2 = 1 AND doc_id % 3 IN (0, 1) ORDER BY id""".stripMargin,
+
+    "osm_to_points" ->
+      """SELECT doc_id * 8 AS node_id,
+        |  CASE WHEN (doc_id // 7) % 2 = 0 THEN 'school' ELSE 'cafe' END AS amenity,
+        |  CASE WHEN doc_id % 14 = 0 THEN 'n' || doc_id ELSE NULL END AS name,
+        |  round(CAST(doc_id % 40 * 5 AS DOUBLE), 9) AS x,
+        |  round(CAST((doc_id // 40) * 5 AS DOUBLE), 9) AS y
+        |FROM documents WHERE doc_id % 7 = 0 ORDER BY node_id""".stripMargin,
 
     "worldpop_grid" ->
       """WITH g AS (SELECT doc_id % 20 + 1 AS c, doc_id // 20 + 1 AS r,
