@@ -787,8 +787,10 @@ object Queries2 {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id").isin(1L, 7L, 42L, 99L, 123L))
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      // one Lloyd refinement pass over the first-k seed (the scale path's
+      // bucket-balance option; oracle replicates the mean + reassignment)
       Similarity.ivfTopK(emb, "vec_id", "embedding", queries, k = 10,
-        numCentroids = 8, nProbe = 3)
+        numCentroids = 8, nProbe = 3, refineIterations = 1)
         .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"))
         .orderBy("qid", "rank")
     }),
@@ -1446,15 +1448,29 @@ object Queries2 {
         |s0 AS (SELECT e.vec_id, e.v, c.centroid_id,
         |    list_dot_product(e.v, c.cv)/(sqrt(list_dot_product(e.v,e.v))*sqrt(list_dot_product(c.cv,c.cv))) AS sim
         |  FROM e CROSS JOIN cents c),
-        |asgn AS (SELECT vec_id, v, centroid_id FROM (
+        |asgn0 AS (SELECT vec_id, v, centroid_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) rn FROM s0) WHERE rn=1),
+        |-- one Lloyd pass: per-(centroid, dim) means, cast to the float
+        |-- element type exactly like the engine, empty clusters keep seeds
+        |dims AS (SELECT unnest(range(1, 65)) AS pos),
+        |m AS (SELECT centroid_id, pos, CAST(avg(v[CAST(pos AS INTEGER)]) AS REAL) AS mv
+        |  FROM asgn0 CROSS JOIN dims GROUP BY 1, 2),
+        |cents1 AS (SELECT centroid_id, CAST(list(mv ORDER BY pos) AS DOUBLE[]) AS cv
+        |  FROM m GROUP BY 1
+        |  UNION ALL SELECT c.centroid_id, c.cv FROM cents c
+        |  WHERE c.centroid_id NOT IN (SELECT centroid_id FROM m)),
+        |s1 AS (SELECT e.vec_id, e.v, c.centroid_id,
+        |    list_dot_product(e.v, c.cv)/(sqrt(list_dot_product(e.v,e.v))*sqrt(list_dot_product(c.cv,c.cv))) AS sim
+        |  FROM e CROSS JOIN cents1 c),
+        |asgn AS (SELECT vec_id, v, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) rn FROM s1) WHERE rn=1),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (1,7,42,99,123)),
         |qp AS (SELECT qid, qv, centroid_id FROM (
         |    SELECT q.qid, q.qv, c.centroid_id,
         |      row_number() OVER (PARTITION BY q.qid ORDER BY
         |        list_dot_product(q.qv,c.cv)/(sqrt(list_dot_product(q.qv,q.qv))*sqrt(list_dot_product(c.cv,c.cv))) DESC,
         |        c.centroid_id) rn
-        |    FROM q CROSS JOIN cents c) WHERE rn <= 3),
+        |    FROM q CROSS JOIN cents1 c) WHERE rn <= 3),
         |cand AS (SELECT qp.qid, a.vec_id,
         |    list_dot_product(a.v, qp.qv)/(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(qp.qv,qp.qv))) AS sim
         |  FROM qp JOIN asgn a ON a.centroid_id = qp.centroid_id AND a.vec_id <> qp.qid)

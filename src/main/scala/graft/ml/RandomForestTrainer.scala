@@ -9,12 +9,15 @@ import RandomForest.{Forest, Leaf, Node, Split}
  * of the reference's `createRandomForestModel`
  * (TypologyClassification.groovy:555-650), which delegates to smile's
  * single-node `RandomForestClassification/Regression.fit`. Here training is
- * the PLANET / Spark-MLlib shape: trees grow LEVEL-synchronous, and each
- * level is ONE distributed aggregation — every row emits (node, feature,
- * bin) statistics, a hash aggregate reduces them, and the driver picks the
- * best split per node from the bin histograms (Gini for classification,
- * variance for regression). Driver state is O(#nodes × #features × #bins),
- * never O(rows); rows are never collected.
+ * the PLANET / Spark-MLlib shape: ALL trees grow LEVEL-synchronous, and
+ * each level of the whole forest is ONE distributed aggregation — every row
+ * emits (tree, node, feature, bin) statistics for each bagged tree, a hash
+ * aggregate reduces them, and the driver picks the best split per (tree,
+ * node) from the bin histograms (Gini for classification, variance for
+ * regression). Candidate thresholds for every feature come from two more
+ * jobs (one count pass, one value/quantile pass) — maxDepth + 3 jobs total
+ * regardless of numTrees or feature count. Driver state is
+ * O(#trees × #nodes × #features × #bins), never O(rows).
  *
  * Deliberate divergences from smile, documented:
  *  - candidate thresholds are midpoints of the (capped) distinct value set,
@@ -23,7 +26,8 @@ import RandomForest.{Forest, Leaf, Node, Split}
  *  - bagging is a deterministic hash subsample (include row t iff
  *    xxhash64(features, tree, seed) mod 1000 < rate·1000) instead of
  *    bootstrap-with-replacement — reproducible across runs and partitions;
- *  - mtry feature subsets are drawn per (tree, depth) from a seeded RNG.
+ *  - mtry feature subsets are drawn per (tree, depth) from a keyed seeded
+ *    RNG (level-batched growth cannot share one sequential RNG).
  *
  * Split semantics match the APPLY side exactly (left iff x <= threshold;
  * classification leaves are class indices, ties toward the smallest index),
@@ -31,8 +35,8 @@ import RandomForest.{Forest, Leaf, Node, Split}
  */
 object RandomForestTrainer {
 
-  /** Per-(node,featureSlot,bin) label histogram / moment rows. */
-  private final case class BinStat(node: Int, slot: Int, bin: Int,
+  /** Per-(tree,node,featureSlot,bin) label histogram / moment rows. */
+  private final case class BinStat(tree: Int, node: Int, slot: Int, bin: Int,
                                    label: Int, n: Long, sum: Double, sum2: Double)
 
   /**
@@ -55,98 +59,129 @@ object RandomForestTrainer {
         (if (numClasses > 0) col(labelCol).cast("int").as("__y")
          else col(labelCol).cast("double").as("__y"))): _*)
       .na.drop() // smile's omitNullRows (TypologyClassification.groovy:595)
-      .localCheckpoint() // read maxDepth times per tree
-    // candidate thresholds per feature: midpoints of the sorted distinct
-    // values when few (exact, smile-like), else approx quantiles — the cap
-    // is applied DISTRIBUTEDLY (low-cardinality check first), so the driver
-    // never collects an unbounded distinct set at data scale
-    val thresholds: Array[Array[Double]] = features.map { f =>
-      val nd = df.select(approx_count_distinct(col(f)).as("n")).head().getLong(0)
+      .localCheckpoint() // read maxDepth times (all trees per pass)
+    // candidate thresholds: TWO jobs total, not 2 per feature — one pass
+    // computes every feature's approx distinct count, a second computes all
+    // value sets at once (sorted collect_set for low-cardinality features —
+    // bounded by the count check — and approx quantiles for the rest). The
+    // cap stays distributed: the driver never collects an unbounded set.
+    val counts = df.select(features.map(f =>
+      approx_count_distinct(col(f)).as(f)): _*).head()
+    val lowCard = features.indices.map(i => counts.getLong(i) <= maxBins * 2)
+    val qs = (0 until maxBins).map(i => i.toDouble / (maxBins - 1))
+    val valueAggs = features.zipWithIndex.map { case (f, i) =>
+      if (lowCard(i)) sort_array(collect_set(col(f))).as(f)
+      else percentile_approx(col(f), typedLit(qs), lit(10000)).as(f)
+    }
+    val valueRow = df.select(valueAggs: _*).head()
+    val thresholds: Array[Array[Double]] = features.indices.map { i =>
       val vs: Array[Double] =
-        if (nd <= maxBins * 2) // approx count: 2x slack before switching modes
-          df.select(col(f)).where(col(f).isNotNull).distinct()
-            .orderBy(col(f)).collect().map(_.getDouble(0))
-        else {
-          val qs = (0 until maxBins).map(i => i.toDouble / (maxBins - 1))
-          df.where(col(f).isNotNull)
-            .select(percentile_approx(col(f), typedLit(qs), lit(10000)).as("q"))
-            .head().getSeq[Double](0).distinct.sorted.toArray
-        }
+        if (lowCard(i)) valueRow.getSeq[Double](i).toArray
+        else valueRow.getSeq[Double](i).distinct.sorted.toArray
       vs.sliding(2).collect { case Array(a, b) => (a + b) / 2 }.toArray
     }.toArray
-    val rnd = new scala.util.Random(seed)
-    val trees = (0 until numTrees).map { t =>
-      val bag =
-        if (subsample >= 1.0) df
-        else df.where(pmod(xxhash64(features.map(col) :+ lit(t) :+ lit(seed): _*),
-          lit(1000L)) < (subsample * 1000).toLong)
-      growTree(bag, features, thresholds, maxDepth, numClasses, nodeSize, mtry, rnd)
-    }
-    Forest(features, trees)
+    growForest(df, features, thresholds, numTrees, maxDepth, numClasses,
+      nodeSize, subsample, mtry, maxBins, seed)
   }
 
-  /** Level-synchronous growth of one tree. */
-  private def growTree(df: DataFrame, features: Seq[String],
-                       thresholds: Array[Array[Double]], maxDepth: Int,
-                       numClasses: Int, nodeSize: Int, mtry: Int,
-                       rnd: scala.util.Random): Node = {
-    // mutable node table: id -> either a pending region, a split, or a leaf
-    val splits = scala.collection.mutable.Map.empty[Int, (Int, Double)] // node -> (feature, thr)
-    val leaves = scala.collection.mutable.Map.empty[Int, Double]
-    var frontier = Set(1) // node ids: root 1, children 2n / 2n+1
+  /**
+   * Level-synchronous growth of ALL trees at once: every level is ONE
+   * distributed aggregation across the whole forest — a row emits its
+   * (tree, node, slot, bin) statistics for every bagged tree it belongs to,
+   * so numTrees × maxDepth per-tree jobs collapse into maxDepth (+1) jobs.
+   * mtry feature subsets are drawn from a per-(tree, depth) seeded RNG
+   * (the per-level batching makes a shared sequential RNG order-dependent,
+   * so the draw is keyed instead — same style of deterministic divergence
+   * from smile as the hash bagging, documented in the header).
+   */
+  private def growForest(df: DataFrame, features: Seq[String],
+                         thresholds: Array[Array[Double]], numTrees: Int,
+                         maxDepth: Int, numClasses: Int, nodeSize: Int,
+                         subsample: Double, mtry: Int, maxBins: Int,
+                         seed: Long): Forest = {
+    val splits = Array.fill(numTrees)(
+      scala.collection.mutable.Map.empty[Int, (Int, Double)])
+    val leaves = Array.fill(numTrees)(
+      scala.collection.mutable.Map.empty[Int, Double])
+    val frontiers = Array.fill(numTrees)(Set(1)) // root 1, children 2n/2n+1
+    def slotsFor(t: Int, depth: Int): Seq[Int] =
+      if (mtry <= 0 || mtry >= features.size) features.indices
+      else new scala.util.Random(seed ^ (t * 0x9E3779B97F4A7C15L) ^ (depth * 0xC2B2AE3D27D4EB4FL))
+        .shuffle(features.indices.toList).take(mtry).sorted
     var depth = 0
-    while (frontier.nonEmpty && depth < maxDepth) {
-      val slots: Seq[Int] =
-        if (mtry <= 0 || mtry >= features.size) features.indices
-        else rnd.shuffle(features.indices.toList).take(mtry).sorted
-      val stats = levelStats(df, features, thresholds, splits, frontier, slots, numClasses)
-      val nextFrontier = Set.newBuilder[Int]
-      for (node <- frontier) {
-        val nodeStats = stats.filter(_.node == node)
-        bestSplit(nodeStats, slots, thresholds, numClasses, nodeSize) match {
-          case Some((f, thr)) if depth < maxDepth - 1 =>
-            splits(node) = (f, thr)
-            nextFrontier += 2 * node += 2 * node + 1
-          case _ =>
-            leaves(node) = leafValue(nodeStats, numClasses)
+    while (depth < maxDepth && frontiers.exists(_.nonEmpty)) {
+      val active = (0 until numTrees).filter(frontiers(_).nonEmpty)
+      val treeSlots = active.map(t => t -> slotsFor(t, depth)).toMap
+      val unionSlots = treeSlots.values.flatten.toSeq.distinct.sorted
+      val stats = levelStats(df, features, thresholds, active,
+        active.map(t => t -> splits(t).toMap).toMap,
+        active.map(t => t -> frontiers(t)).toMap,
+        unionSlots, numClasses, subsample, seed)
+      for (t <- active) {
+        val nextFrontier = Set.newBuilder[Int]
+        for (node <- frontiers(t)) {
+          val nodeStats = stats.filter(s => s.tree == t && s.node == node)
+          bestSplit(nodeStats, treeSlots(t), thresholds, numClasses, nodeSize) match {
+            case Some((f, thr)) if depth < maxDepth - 1 =>
+              splits(t)(node) = (f, thr)
+              nextFrontier += 2 * node += 2 * node + 1
+            case _ =>
+              leaves(t)(node) = leafValue(nodeStats, numClasses)
+          }
         }
+        frontiers(t) = nextFrontier.result()
       }
-      frontier = nextFrontier.result()
       depth += 1
     }
     // depth cap reached with pending frontier nodes: close them as leaves
-    if (frontier.nonEmpty) {
-      val stats = levelStats(df, features, thresholds, splits, frontier,
-        Seq(0), numClasses) // any single slot: only the label marginals are used
-      for (node <- frontier) leaves(node) = leafValue(stats.filter(_.node == node), numClasses)
+    if (frontiers.exists(_.nonEmpty)) {
+      val active = (0 until numTrees).filter(frontiers(_).nonEmpty)
+      val stats = levelStats(df, features, thresholds, active,
+        active.map(t => t -> splits(t).toMap).toMap,
+        active.map(t => t -> frontiers(t)).toMap,
+        Seq(0), numClasses, subsample, seed) // one slot: only label marginals used
+      for (t <- active; node <- frontiers(t))
+        leaves(t)(node) = leafValue(stats.filter(s => s.tree == t && s.node == node), numClasses)
     }
-    build(1, splits.toMap, leaves.toMap)
+    Forest(features, (0 until numTrees).map(t =>
+      build(1, splits(t).toMap, leaves(t).toMap)))
   }
 
-  /** One distributed pass: per (frontier node, feature slot, bin) label
-    * histograms (classification) or moments (regression). Each row emits
-    * #slots structs; the shuffle carries only the aggregated histogram. */
+  /** One distributed pass over the whole forest: per (tree, frontier node,
+    * feature slot, bin) label histograms (classification) or moments
+    * (regression). Each row emits #baggedTrees × #slots structs; the
+    * shuffle carries only the aggregated histograms. */
   private def levelStats(df: DataFrame, features: Seq[String],
                          thresholds: Array[Array[Double]],
-                         splits: collection.Map[Int, (Int, Double)],
-                         frontier: Set[Int], slots: Seq[Int],
-                         numClasses: Int): Array[BinStat] = {
-    // current node id of each row: descend the (tiny, broadcast-closure)
-    // partial split map — a per-row UDF walk, one level pass per depth (a
-    // Column re-expansion of the tree would grow exponentially with depth)
-    val splitMap = splits.toMap
-    val nodeUdf = udf { (fs: Seq[Double]) =>
+                         active: Seq[Int],
+                         splitMaps: Map[Int, Map[Int, (Int, Double)]],
+                         frontiers: Map[Int, Set[Int]],
+                         slots: Seq[Int],
+                         numClasses: Int, subsample: Double,
+                         seed: Long): Array[BinStat] = {
+    // current node id of each row in each tree: descend the (tiny,
+    // broadcast-closure) partial split maps — a per-row UDF walk per level
+    // (a Column re-expansion of the tree would grow exponentially with
+    // depth); -1 marks rows sitting in already-closed leaves
+    val nodeUdf = udf { (fs: Seq[Double], t: Int) =>
+      val splitMap = splitMaps(t)
       var n = 1
       var continue = true
       while (continue) splitMap.get(n) match {
         case Some((f, thr)) => n = if (fs(f) <= thr) 2 * n else 2 * n + 1
         case None => continue = false
       }
-      n
+      if (frontiers(t)(n)) n else -1
     }
-    val nodeCol = nodeUdf(array(features.map(col): _*))
-    // bin of a value = #thresholds <= value (thresholds are few: a sum of
-    // comparisons stays codegen-friendly)
+    // bagging: include row in tree t iff its feature hash mod 1000 < rate
+    def bagCond(t: Int): Column =
+      if (subsample >= 1.0) lit(true)
+      else pmod(xxhash64(features.map(col) :+ lit(t) :+ lit(seed): _*),
+        lit(1000L)) < (subsample * 1000).toLong
+    val treeArr = array(active.map(t =>
+      when(bagCond(t), lit(t)).otherwise(lit(null).cast("int"))): _*)
+    // bin of a value = #thresholds < value (thresholds are few: a sum of
+    // comparisons stays codegen-friendly); bins are tree-independent
     def binCol(slot: Int): Column = {
       val ths = thresholds(slot)
       if (ths.isEmpty) lit(0)
@@ -154,16 +189,19 @@ object RandomForestTrainer {
     }
     val emits = array(slots.map(s =>
       struct(lit(s).as("slot"), binCol(s).cast("int").as("bin"))): _*)
-    val y = if (numClasses > 0) col("__y") else lit(0)
-    df.withColumn("__node", nodeCol)
-      .where(col("__node").isInCollection(frontier.toSeq))
-      .select(col("__node"), col("__y"), explode(emits).as("__e"))
-      .groupBy(col("__node"), col("__e.slot").as("__slot"), col("__e.bin").as("__bin"),
+    df.withColumn("__fs", array(features.map(col): _*))
+      .select(col("*"), explode(treeArr).as("__t"))
+      .where(col("__t").isNotNull)
+      .withColumn("__node", nodeUdf(col("__fs"), col("__t")))
+      .where(col("__node") > 0)
+      .select(col("__t"), col("__node"), col("__y"), explode(emits).as("__e"))
+      .groupBy(col("__t"), col("__node"), col("__e.slot").as("__slot"),
+        col("__e.bin").as("__bin"),
         (if (numClasses > 0) col("__y") else lit(0)).as("__label"))
       .agg(count(lit(1)).as("n"), sum(col("__y").cast("double")).as("s"),
         sum(col("__y").cast("double") * col("__y").cast("double")).as("s2"))
       .collect().map(r => BinStat(r.getInt(0), r.getInt(1), r.getInt(2),
-        r.getInt(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+        r.getInt(3), r.getInt(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
   }
 
   /** Best (feature, threshold) by Gini / variance gain; None when pure, too

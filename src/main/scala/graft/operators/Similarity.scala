@@ -282,15 +282,52 @@ object Similarity {
       .withColumn("centroid_id", argmaxUdf(col(vecCol)))
   }
 
+  /**
+   * Lloyd refinement passes over the seed centroids: map-side assignment
+   * (broadcast centroids, zero big-table shuffle) followed by per-
+   * (centroid, dimension) means — the only shuffle is the dim-exploded
+   * aggregate, whose key space is numCentroids × dim. Means are cast back
+   * to float (the vector element type), which also absorbs the last-ulp
+   * order dependence of the distributed double sum. Empty clusters keep
+   * their previous centroid. Better bucket balance on clustered data than
+   * the raw first-k seed (recall note: SURVEY §8).
+   */
+  def refineCentroids(data: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame, iterations: Int = 1): DataFrame = {
+    var cents = centroids
+    for (_ <- 0 until iterations) {
+      val assigned = ivfAssign(data, idCol, vecCol, cents)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("__pos", "__val")))
+        .groupBy("centroid_id", "__pos")
+        .agg(avg(col("__val").cast("double")).as("__m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__pm"))
+        .select(col("centroid_id"),
+          transform(col("__pm"), e => e.getField("__m").cast("float")).as("__newvec"))
+      cents = cents.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("__newvec"), col("cvec")).as("cvec"))
+        .localCheckpoint() // next iteration / assignment reads the tiny model
+    }
+    cents
+  }
+
   /** IVF top-k: probe only the nProbe nearest centroid buckets per query.
     * Probes (Q×K rows — two models joined) stay tiny; the candidate scan is
     * bucket-pruned and its top-k goes through the same partial-heap pass as
-    * the brute-force path (no per-query reducer funnel). */
+    * the brute-force path (no per-query reducer funnel).
+    * @param refineIterations Lloyd passes over the seed centroids
+    *        ([[refineCentroids]]); 0 keeps the raw first-k seed. */
   def ivfTopK(data: DataFrame, idCol: String, vecCol: String,
-              queries: DataFrame, k: Int, numCentroids: Int, nProbe: Int): DataFrame = {
+              queries: DataFrame, k: Int, numCentroids: Int, nProbe: Int,
+              refineIterations: Int = 0): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
-    val cents = seedCentroids(data, idCol, vecCol, numCentroids)
+    val cents0 = seedCentroids(data, idCol, vecCol, numCentroids)
+    val cents =
+      if (refineIterations > 0)
+        refineCentroids(data, idCol, vecCol, cents0, refineIterations)
+      else cents0
     val assigned = ivfAssign(data, idCol, vecCol, cents)
     val qProbes = queries.crossJoin(broadcast(cents))
       .withColumn("sim_c", cosine(col("qvec"), col("cvec")))
