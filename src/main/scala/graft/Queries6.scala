@@ -287,12 +287,23 @@ object Queries6 {
       water = Some(waterRects(s, dir)))
   }
 
-  private def e2eChain(s: SparkSession, dir: String): graft.workflow.WorkflowChain.AllIndicators = {
-    val p = WorkflowConfig.Defaults.copy(indicatorUse = Seq("LCZ", "UTRF", "TEB"),
-      surfaceVegetation = 1e6, surfaceHydro = 1e6, svfSimplified = true)
-    graft.workflow.WorkflowChain.computeAllGeoIndicators(s, e2eLayers(s, dir), p,
-      grid, Res)
-  }
+  // The three workflow_*_e2e queries are EXPORTS of one chain run (the
+  // reference computes the chain once and writes three tables) — memoize
+  // the checkpointed AllIndicators per (session, dir) so the driver's
+  // query loop pays the chain once, not three times.
+  private val e2eCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.workflow.WorkflowChain.AllIndicators]()
+  private def e2eChain(s: SparkSession, dir: String): graft.workflow.WorkflowChain.AllIndicators =
+    e2eCache.computeIfAbsent((s, dir), { _ =>
+      val p = WorkflowConfig.Defaults.copy(indicatorUse = Seq("LCZ", "UTRF", "TEB"),
+        surfaceVegetation = 1e6, surfaceHydro = 1e6, svfSimplified = true)
+      val all = graft.workflow.WorkflowChain.computeAllGeoIndicators(s, e2eLayers(s, dir), p,
+        grid, Res)
+      all.copy(buildingIndicators = all.buildingIndicators.localCheckpoint(),
+        blockIndicators = all.blockIndicators.map(_.localCheckpoint()),
+        rsuIndicators = all.rsuIndicators.localCheckpoint())
+    })
 
   /** Oracle cells keyed by the chain's minted TSU ids. */
   private val rcellsSql =

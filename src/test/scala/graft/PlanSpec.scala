@@ -83,6 +83,15 @@ class PlanSpec extends SparkTestBase {
       unionAggLines.mkString("\n"))
   }
 
+  test("grid rasterize queries are equi-join shaped (no cartesian/nested-loop)") {
+    for (q <- Seq("grid_land_fraction", "grid_roughness", "grid_facade_street",
+        "grid_height_distribution")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
   test("dedup_exact: shuffle key is the fixed-width digest triple, never the text bytes") {
     val df = SparkEntry.queries("dedup_exact")(spark, dir)
     df.collect()
