@@ -453,6 +453,38 @@ object Queries6 {
       out
     }),
 
+    // -- UTRF typology loop (computeTypologyIndicators, WorkflowGeoIndicators
+    //    .groovy:830-948): gatherScales(BUILDING) → trained RF → per-building
+    //    typo → per-RSU area/floor-area typo fractions + characterization.
+    //    The forest learns an exactly-learnable area rule (ba<=12, id<=25,
+    //    pd otherwise; the gathered rsu_area feature is constant so only
+    //    area splits exist), so predictions equal the rule and the oracle
+    //    recomputes the whole aggregation analytically. -------------------
+    "workflow_utrf_e2e" -> ((s, dir) => {
+      import graft.workflow.WorkflowChain
+      val all = e2eChain(s, dir)
+      val gathered = WorkflowChain.gatherScales(all.buildingIndicators,
+        all.blockIndicators.get, all.rsuIndicators, "BUILDING")
+      val train = gathered.select(col("id_build"), col("area"), col("rsu_area"),
+        when(col("area") <= 12, 0).when(col("area") <= 25, 1).otherwise(2).as("y"))
+      val forest = graft.ml.RandomForestTrainer.train(train,
+        Seq("area", "rsu_area"), "y", numTrees = 3, maxDepth = 3, numClasses = 3)
+      val (_, rsuArea, rsuFloor) = WorkflowChain.computeTypologyIndicators(
+        gathered, all.buildingIndicators, all.rsuIndicators, forest,
+        Seq("ba", "id", "pd"))
+      rsuArea.join(rsuFloor.select(col("id_rsu"),
+          col("typo_maj").as("floor_typo_maj"),
+          round(col("typo_ba"), 9).as("floor_typo_ba")), "id_rsu")
+        .select(col("id_rsu").cast("int").as("id_rsu"),
+          round(col("typo_ba"), 9).as("typo_ba"),
+          round(col("typo_id"), 9).as("typo_id"),
+          round(col("typo_pd"), 9).as("typo_pd"),
+          round(col("uniqueness_value"), 9).as("uniqueness_value"),
+          col("typo_maj"), col("typo_second"),
+          col("floor_typo_maj"), col("floor_typo_ba"))
+        .orderBy("id_rsu")
+    }),
+
     // -- terrain roughness chain on the grid: frontal-area index
     //    distribution → λf → Hanna&Britter z0 → Davenport class, plus the
     //    directional projected facade densities (:2162-2210) ---------------
@@ -940,6 +972,51 @@ object Queries6 {
         |  round(CAST(doc_id % 40 * 5 AS DOUBLE), 9) AS x,
         |  round(CAST((doc_id // 40) * 5 AS DOUBLE), 9) AS y
         |FROM documents WHERE doc_id % 7 = 0 ORDER BY node_id""".stripMargin,
+
+    "workflow_utrf_e2e" ->
+      s"""WITH $slotBuildingsSql,
+        |bt AS (SELECT gb.*, w * h AS barea, w * h * lev AS bfloor,
+        |    CASE WHEN w * h <= 12 THEN 'ba' WHEN w * h <= 25 THEN 'id' ELSE 'pd' END AS typo,
+        |    CAST((id_build % 9) % 3 * 3 + (id_build % 9) // 3 + 1 AS INTEGER) AS id_rsu
+        |  FROM gb),
+        |ar AS (SELECT id_rsu,
+        |    sum(CASE WHEN typo = 'ba' THEN barea ELSE 0 END) AS s_ba,
+        |    sum(CASE WHEN typo = 'id' THEN barea ELSE 0 END) AS s_id,
+        |    sum(CASE WHEN typo = 'pd' THEN barea ELSE 0 END) AS s_pd,
+        |    sum(CASE WHEN typo = 'ba' THEN bfloor ELSE 0 END) AS f_ba,
+        |    sum(CASE WHEN typo = 'id' THEN bfloor ELSE 0 END) AS f_id,
+        |    sum(CASE WHEN typo = 'pd' THEN bfloor ELSE 0 END) AS f_pd
+        |  FROM bt GROUP BY 1),
+        |fr AS (SELECT id_rsu,
+        |    s_ba / (s_ba + s_id + s_pd) AS t_ba,
+        |    s_id / (s_ba + s_id + s_pd) AS t_id,
+        |    s_pd / (s_ba + s_id + s_pd) AS t_pd,
+        |    f_ba / (f_ba + f_id + f_pd) AS ft_ba,
+        |    f_id / (f_ba + f_id + f_pd) AS ft_id,
+        |    f_pd / (f_ba + f_id + f_pd) AS ft_pd
+        |  FROM ar),
+        |-- stable-sort extremum: frac DESC, column index DESC (ba=0, id=1, pd=2)
+        |u AS (SELECT id_rsu, name, frac, idx, row_number() OVER
+        |    (PARTITION BY id_rsu ORDER BY frac DESC, idx DESC) AS rn
+        |  FROM (SELECT id_rsu, 'ba' AS name, t_ba AS frac, 0 AS idx FROM fr
+        |    UNION ALL SELECT id_rsu, 'id', t_id, 1 FROM fr
+        |    UNION ALL SELECT id_rsu, 'pd', t_pd, 2 FROM fr)),
+        |uf AS (SELECT id_rsu, name, frac, row_number() OVER
+        |    (PARTITION BY id_rsu ORDER BY frac DESC, idx DESC) AS rn
+        |  FROM (SELECT id_rsu, 'ba' AS name, ft_ba AS frac, 0 AS idx FROM fr
+        |    UNION ALL SELECT id_rsu, 'id', ft_id, 1 FROM fr
+        |    UNION ALL SELECT id_rsu, 'pd', ft_pd, 2 FROM fr))
+        |SELECT fr.id_rsu,
+        |  round(fr.t_ba, 9) AS typo_ba, round(fr.t_id, 9) AS typo_id,
+        |  round(fr.t_pd, 9) AS typo_pd,
+        |  round(abs(u1.frac - u2.frac) / (u1.frac + u2.frac), 9) AS uniqueness_value,
+        |  u1.name AS typo_maj, u2.name AS typo_second,
+        |  uf1.name AS floor_typo_maj, round(fr.ft_ba, 9) AS floor_typo_ba
+        |FROM fr
+        |JOIN (SELECT * FROM u WHERE rn = 1) u1 USING (id_rsu)
+        |JOIN (SELECT * FROM u WHERE rn = 2) u2 USING (id_rsu)
+        |JOIN (SELECT * FROM uf WHERE rn = 1) uf1 USING (id_rsu)
+        |ORDER BY fr.id_rsu""".stripMargin,
 
     "worldpop_grid" ->
       """WITH g AS (SELECT doc_id % 20 + 1 AS c, doc_id // 20 + 1 AS r,

@@ -390,6 +390,75 @@ object WorkflowChain {
     }
   }
 
+  // ---- UTRF typology (computeTypologyIndicators, :830-948) ----------------
+
+  /** UTRF typology classes in correspondence-table order
+    * (CORRESPONDENCE_TAB_UTRF, :788-789) — also the fixed distribution
+    * column order (the reference's SELECT DISTINCT order is
+    * nondeterministic, like the LCZ pivot). */
+  val UtrfCorrespondence: Seq[String] = WorkflowRunner.UtrfClasses
+
+  /**
+   * Apply a trained UTRF random forest to the gathered building-scale table
+   * and aggregate the typology to RSU scale — the reference's
+   * `computeTypologyIndicators` UTRF branch (:830-948):
+   *
+   *  - building_utrf: per building the predicted typo name (argmax vote);
+   *  - rsu_utrf_area / rsu_utrf_floor_area: per RSU the AREA (FLOOR_AREA)
+   *    fraction of each PRESENT typo (`typo_<name>` columns, fractions of
+   *    the per-RSU typo total like the reference's TYPO_x/(ΣTYPO)),
+   *    plus the distribution characterization — uniqueness_value (NULL when
+   *    the RSU has no classified building area), typo_maj / typo_second
+   *    (prefix-stripped extremum columns, NULL in the same case).
+   *
+   * @param gathered  gatherScales(..., "BUILDING") output carrying id_build,
+   *                  id_rsu and the forest's feature columns
+   * @param forest    trained classification forest; class index i ↦
+   *                  typoNames(i)
+   */
+  def computeTypologyIndicators(gathered: DataFrame, buildingIndics: DataFrame,
+                                rsuIndics: DataFrame,
+                                forest: graft.ml.RandomForest.Forest,
+                                typoNames: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
+    import graft.ml.RandomForest
+    val feats = forest.features.map(f => f -> col(f)).toMap
+    val votes = RandomForest.classifyVoteColumns(forest, feats, typoNames.size)
+    val buildingUtrf = gathered
+      .withColumn("i_typo", RandomForest.argmaxColumn(votes, typoNames))
+      .select("id_build", "id_rsu", "i_typo")
+      .localCheckpoint() // read by both scale aggregations
+    def rsuAggregation(valueCol: String): DataFrame = {
+      val present = UtrfCorrespondence.filter(
+        buildingUtrf.select("i_typo").distinct().collect()
+          .map(_.getString(0)).toSet)
+      val joined = buildingIndics
+        .select(col("id_build"), col("id_rsu"), col(valueCol).as("__v"))
+        .where(col("id_rsu").isNotNull)
+        .join(buildingUtrf.select("id_build", "i_typo"), Seq("id_build"), "left")
+      val aggs = present.map(t =>
+        sum(when(col("i_typo") === t, col("__v")).otherwise(0.0)).as(s"typo_$t"))
+      val sums = joined.groupBy("id_rsu").agg(aggs.head, aggs.tail: _*)
+      val total = present.map(t => col(s"typo_$t")).reduce(_ + _)
+      val tempo = rsuIndics.select("id_rsu", "the_geom")
+        .join(sums, Seq("id_rsu"), "left")
+        .select(col("id_rsu") +: col("the_geom") +: present.map(t =>
+          coalesce(col(s"typo_$t") / total, lit(0.0)).as(s"typo_$t")): _*)
+        .localCheckpoint() // characterization + final join both read it
+      val characterized = GenericIndicators.distributionCharacterizationCols(
+        tempo, present.map(t => s"typo_$t"), "id_rsu")
+      val noData = col("uniqueness_value") === -1.0
+      tempo.join(characterized.select(col("id_rsu"),
+          when(noData, lit(null).cast("double"))
+            .otherwise(col("uniqueness_value")).as("uniqueness_value"),
+          when(noData, lit(null).cast("string"))
+            .otherwise(lower(expr("substring(extremum_col, 6)"))).as("typo_maj"),
+          when(noData, lit(null).cast("string"))
+            .otherwise(lower(expr("substring(extremum_col2, 6)"))).as("typo_second")),
+        Seq("id_rsu"), "left")
+    }
+    (buildingUtrf, rsuAggregation("area"), rsuAggregation("floor_area"))
+  }
+
   // ---- the full chain -----------------------------------------------------
 
   /**
