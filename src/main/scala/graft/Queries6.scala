@@ -453,6 +453,37 @@ object Queries6 {
       out
     }),
 
+    // -- building height estimation branch (estimateBuildingHeight,
+    //    WorkflowGeoIndicators.groovy:1384-1520 + formatEstimatedBuilding
+    //    :2300-2341): UTRF chain -> gatherScales(BUILDING) -> regression RF
+    //    -> splice + re-format. The forest learns an exactly-learnable
+    //    piecewise-constant roof rule on area, so every output column is
+    //    analytic; the re-format quirk (wall := roof, levels :=
+    //    max(floor(roof/3),1) for ALL rows) is replicated and oracled. ----
+    "workflow_height_e2e" -> ((s, dir) => {
+      import graft.workflow.{WorkflowChain, WorkflowConfig}
+      val train = s.range(0, 60).select(
+        (col("id") % 48 + 9).cast("double").as("area"),
+        lit(2500.0).as("rsu_area"),
+        when(col("id") % 48 + 9 <= 12, 6.0)
+          .when(col("id") % 48 + 9 <= 25, 9.0).otherwise(12.0).as("yr"))
+      val forest = graft.ml.RandomForestTrainer.train(train,
+        Seq("area", "rsu_area"), "yr", numTrees = 1, maxDepth = 3, numClasses = 0)
+      val estimate = t(s, dir, "documents").where(col("doc_id") < 144)
+        .where(col("doc_id") % 3 === 0).select(col("doc_id").as("id_build"))
+      val p = WorkflowConfig.Defaults.copy(indicatorUse = Seq("UTRF"),
+        surfaceVegetation = 1e6, surfaceHydro = 1e6, svfSimplified = true)
+      val (building, _) = WorkflowChain.estimateBuildingHeight(s,
+        e2eLayers(s, dir), estimate, forest, p, grid, Res)
+      building.select(col("id_build"),
+          round(col("height_wall"), 9).as("height_wall"),
+          round(col("height_roof"), 9).as("height_roof"),
+          col("nb_lev").cast("int").as("nb_lev"),
+          col("id_block").cast("long").as("id_block"),
+          col("id_rsu").cast("int").as("id_rsu"))
+        .orderBy("id_build")
+    }),
+
     // -- UTRF typology loop (computeTypologyIndicators, WorkflowGeoIndicators
     //    .groovy:830-948): gatherScales(BUILDING) → trained RF → per-building
     //    typo → per-RSU area/floor-area typo fractions + characterization.
@@ -972,6 +1003,19 @@ object Queries6 {
         |  round(CAST(doc_id % 40 * 5 AS DOUBLE), 9) AS x,
         |  round(CAST((doc_id // 40) * 5 AS DOUBLE), 9) AS y
         |FROM documents WHERE doc_id % 7 = 0 ORDER BY node_id""".stripMargin,
+
+    "workflow_height_e2e" ->
+      s"""WITH $slotBuildingsSql,
+        |hb AS (SELECT id_build,
+        |    CASE WHEN id_build % 3 = 0 THEN
+        |      (CASE WHEN w * h <= 12 THEN 6.0 WHEN w * h <= 25 THEN 9.0 ELSE 12.0 END)
+        |    ELSE hr END AS roof,
+        |    CAST((id_build % 9) % 3 * 3 + (id_build % 9) // 3 + 1 AS INTEGER) AS id_rsu
+        |  FROM gb)
+        |SELECT id_build, round(roof, 9) AS height_wall, round(roof, 9) AS height_roof,
+        |  CAST(greatest(floor(roof / 3.0), 1) AS INTEGER) AS nb_lev,
+        |  CAST(id_build AS BIGINT) AS id_block, id_rsu
+        |FROM hb ORDER BY id_build""".stripMargin,
 
     "workflow_utrf_e2e" ->
       s"""WITH $slotBuildingsSql,

@@ -459,6 +459,64 @@ object WorkflowChain {
     (buildingUtrf, rsuAggregation("area"), rsuAggregation("floor_area"))
   }
 
+  // ---- building height estimation (estimateBuildingHeight, :1384-1520) ----
+
+  /**
+   * The height-estimation branch of computeAllGeoIndicators: run the
+   * UTRF-gated chain, gather scales to BUILDING for the rows in
+   * `buildingEstimate`, apply a trained height-regression forest, splice
+   * the estimates back (estimated rows: wall/levels zeroed, roof replaced
+   * — :1470-1480), then re-format EVERY building through
+   * formatHeightsAndNbLevels(0, height_roof, 0, h_lev_min) exactly like
+   * `formatEstimatedBuilding` (:2300-2341) — note the reference quirk,
+   * replicated: the re-format passes heightWall=0 and nbLevels=0 for ALL
+   * rows, so every building ends with height_wall = height_roof and
+   * nb_lev = max(floor(height_roof/h_lev_min), 1), estimated or not.
+   *
+   * @param buildingEstimate ids of buildings whose height must be estimated
+   * @param forest trained REGRESSION forest over gathered-scale features
+   * @return (re-formatted building table, the without-height indicators)
+   */
+  def estimateBuildingHeight(spark: SparkSession, layers: WorkflowRunner.Layers,
+                             buildingEstimate: DataFrame,
+                             forest: graft.ml.RandomForest.Forest,
+                             params: WorkflowConfig.Params,
+                             grid: CellGrid, res: Int,
+                             hLevMin: Double = 3.0): (DataFrame, AllIndicators) = {
+    import graft.ml.RandomForest
+    val all = computeAllGeoIndicators(spark, layers,
+      params.copy(indicatorUse = Seq("UTRF")), grid, res)
+    val bi = all.buildingIndicators
+    // only buildings inside an RSU can be estimated (multi-scale features)
+    val toEstimate = bi
+      .join(buildingEstimate.select("id_build"), Seq("id_build"))
+      .where(col("id_rsu").isNotNull)
+    val gathered = gatherScales(toEstimate, all.blockIndicators.get,
+      all.rsuIndicators, "BUILDING")
+    val feats = forest.features.map(f => f -> col(f)).toMap
+    val estimates = gathered.select(col("id_build"),
+      RandomForest.regressColumn(forest, feats).as("__hr_rf"))
+    def optCol(n: String): Column =
+      if (bi.columns.contains(n)) col(n) else lit(null).cast("string")
+    val spliced = bi.join(estimates, Seq("id_build"), "left")
+      .select(col("the_geom"), col("id_build"), optCol("id_source").as("id_source"),
+        coalesce(col("__hr_rf"), col("height_roof")).cast("double").as("height_roof"),
+        optCol("type").as("type"), optCol("main_use").as("main_use"),
+        (if (bi.columns.contains("zindex")) col("zindex") else lit(0)).as("zindex"),
+        col("id_block"), col("id_rsu"))
+    // formatEstimatedBuilding: formatHeightsAndNbLevels(0, roof, 0, h_lev_min)
+    val formatted = spliced.withColumn("__f",
+      graft.sources.OsmFormatting.formatHeights(lit(0.0),
+        coalesce(col("height_roof"), lit(0.0)), lit(0), hLevMin,
+        col("type"), Map.empty))
+      .select(col("the_geom"), col("id_build"), col("id_source"),
+        col("__f.height_wall").as("height_wall"),
+        col("__f.height_roof").as("height_roof"),
+        col("__f.nb_lev").as("nb_lev"),
+        col("type"), col("main_use"), col("zindex"), col("id_block"), col("id_rsu"))
+    (formatted, all)
+  }
+
   // ---- the full chain -----------------------------------------------------
 
   /**
