@@ -547,6 +547,28 @@ object Queries6 {
         .orderBy("id_grid")
     }),
 
+    // -- multiscale LCZ LOD pyramid (GridIndicators.groovy:126-280,
+    //    multiscaleLCZGrid; the grid_indicators lcz_lod config consumer):
+    //    base 8-neighbor LCZ values + warm counts, modal LOD aggregation
+    //    with the reference weight tiebreak, LOD neighbors, 2 levels ------
+    "grid_multiscale_lcz" -> ((s, dir) => {
+      val out = graft.indicators.GridIndicators.multiscaleLczGrid(
+        sprawlGrid(s).select("id_grid", "id_row", "id_col", "lcz_primary"),
+        "lcz_primary", nbLevels = 2)
+      out.select(col("id_grid"), col("lcz_primary"),
+          col("lcz_primary_n"), col("lcz_primary_se"),
+          col("lcz_warm").cast("long").as("lcz_warm"),
+          col("id_row_lod_1"), col("id_col_lod_1"),
+          col("lcz_primary_lod_1"),
+          col("lcz_warm_lod_1").cast("long").as("lcz_warm_lod_1"),
+          col("lcz_cool_lod_1").cast("long").as("lcz_cool_lod_1"),
+          col("lcz_primary_n_lod_1"),
+          col("lcz_warm_e_lod_1").cast("long").as("lcz_warm_e_lod_1"),
+          col("lcz_primary_lod_2"),
+          col("lcz_warm_lod_2").cast("long").as("lcz_warm_lod_2"))
+        .orderBy("id_grid")
+    }),
+
     // -- sprawlIndicators wiring (WorkflowGeoIndicators.groovy:2447-2512):
     //    sprawl layer + in/out/cool distance columns joined onto the grid --
     "grid_sprawl_indicators" -> ((s, dir) => {
@@ -1071,6 +1093,71 @@ object Queries6 {
         |  round(5 + (c - 1) * 2.5 + 1.25, 9) AS cx,
         |  round(-3 + (r - 1) * 2.5 + 1.25, 9) AS cy
         |FROM n ORDER BY id_pop""".stripMargin,
+
+    "grid_multiscale_lcz" ->
+      """WITH c AS (SELECT CAST(range AS BIGINT) AS id_grid,
+        |    CAST(range % 40 + 1 AS INTEGER) AS id_col,
+        |    CAST(range // 40 + 1 AS INTEGER) AS id_row
+        |  FROM range(0, 400)),
+        |g AS (SELECT *, CASE WHEN
+        |    (id_col BETWEEN 1 AND 9 AND id_row BETWEEN 2 AND 7
+        |      AND NOT (id_col BETWEEN 3 AND 5 AND id_row BETWEEN 4 AND 6))
+        |    OR (id_col BETWEEN 11 AND 19 AND id_row BETWEEN 2 AND 7)
+        |    OR (id_col BETWEEN 25 AND 29 AND id_row BETWEEN 3 AND 7)
+        |  THEN 1 ELSE 101 END AS lcz FROM c),
+        |-- base 8 neighbors + warm count over self+neighbors
+        |nb AS (SELECT a.*,
+        |    (SELECT lcz FROM g WHERE id_row = a.id_row + 1 AND id_col = a.id_col) AS lcz_n,
+        |    (SELECT lcz FROM g WHERE id_row = a.id_row - 1 AND id_col = a.id_col + 1) AS lcz_se,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM g
+        |      WHERE abs(id_row - a.id_row) <= 1 AND abs(id_col - a.id_col) <= 1
+        |        AND lcz BETWEEN 1 AND 10) +
+        |    (SELECT CAST(count(*) AS BIGINT) FROM g
+        |      WHERE abs(id_row - a.id_row) <= 1 AND abs(id_col - a.id_col) <= 1
+        |        AND lcz = 105) AS warm
+        |  FROM g a),
+        |-- LOD level 1 (3x3 blocks): weighted mode + warm/cool counts
+        |l1c AS (SELECT (id_row - 1) // 3 AS lr, (id_col - 1) // 3 AS lc, lcz,
+        |    count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        |l1m AS (SELECT lr, lc, lcz AS lcz1 FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY lr, lc ORDER BY cnt DESC,
+        |      CASE lcz WHEN 105 THEN 11 WHEN 107 THEN 12 WHEN 106 THEN 13
+        |        WHEN 101 THEN 14 WHEN 102 THEN 15 WHEN 103 THEN 16
+        |        WHEN 104 THEN 16 ELSE lcz END, lcz) AS rn
+        |    FROM l1c) WHERE rn = 1),
+        |l1w AS (SELECT (id_row - 1) // 3 AS lr, (id_col - 1) // 3 AS lc,
+        |    CAST(sum(CASE WHEN lcz BETWEEN 1 AND 10 OR lcz = 105 THEN 1 ELSE 0 END) AS BIGINT) AS w1,
+        |    CAST(sum(CASE WHEN lcz IN (101,102,103,104,106,107) THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM g GROUP BY 1, 2),
+        |l1 AS (SELECT l1m.lr, l1m.lc, lcz1, w1, c1 FROM l1m JOIN l1w USING (lr, lc)),
+        |-- LOD level 2 (9x9 blocks)
+        |l2c AS (SELECT (id_row - 1) // 9 AS lr, (id_col - 1) // 9 AS lc, lcz,
+        |    count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        |l2m AS (SELECT lr, lc, lcz AS lcz2 FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY lr, lc ORDER BY cnt DESC,
+        |      CASE lcz WHEN 105 THEN 11 WHEN 107 THEN 12 WHEN 106 THEN 13
+        |        WHEN 101 THEN 14 WHEN 102 THEN 15 WHEN 103 THEN 16
+        |        WHEN 104 THEN 16 ELSE lcz END, lcz) AS rn
+        |    FROM l2c) WHERE rn = 1),
+        |l2w AS (SELECT (id_row - 1) // 9 AS lr, (id_col - 1) // 9 AS lc,
+        |    CAST(sum(CASE WHEN lcz BETWEEN 1 AND 10 OR lcz = 105 THEN 1 ELSE 0 END) AS BIGINT) AS w2
+        |  FROM g GROUP BY 1, 2)
+        |SELECT b.id_grid, b.lcz AS lcz_primary, b.lcz_n AS lcz_primary_n,
+        |  b.lcz_se AS lcz_primary_se, b.warm AS lcz_warm,
+        |  CAST((b.id_row - 1) // 3 + 1 AS INTEGER) AS id_row_lod_1,
+        |  CAST((b.id_col - 1) // 3 AS INTEGER) AS id_col_lod_1,
+        |  l1.lcz1 AS lcz_primary_lod_1, l1.w1 AS lcz_warm_lod_1,
+        |  l1.c1 AS lcz_cool_lod_1,
+        |  (SELECT lcz1 FROM l1 WHERE lr = (b.id_row - 1) // 3 + 1
+        |    AND lc = (b.id_col - 1) // 3) AS lcz_primary_n_lod_1,
+        |  (SELECT w1 FROM l1 WHERE lr = (b.id_row - 1) // 3
+        |    AND lc = (b.id_col - 1) // 3 + 1) AS lcz_warm_e_lod_1,
+        |  l2m.lcz2 AS lcz_primary_lod_2, l2w.w2 AS lcz_warm_lod_2
+        |FROM nb b
+        |JOIN l1 ON l1.lr = (b.id_row - 1) // 3 AND l1.lc = (b.id_col - 1) // 3
+        |JOIN l2m ON l2m.lr = (b.id_row - 1) // 9 AND l2m.lc = (b.id_col - 1) // 9
+        |JOIN l2w ON l2w.lr = (b.id_row - 1) // 9 AND l2w.lc = (b.id_col - 1) // 9
+        |ORDER BY b.id_grid""".stripMargin,
 
     // same analytic replica as sprawl_distances (Queries4) — the composed
     // sprawlIndicators output carries identical distance columns

@@ -94,6 +94,92 @@ object GridIndicators {
         coalesce(col("__s"), lit(0L)).as("sum_neighbors"))
   }
 
+  private val NeighborDirs: Seq[(String, Int, Int)] = Seq(
+    ("n", 1, 0), ("ne", 1, 1), ("e", 0, 1), ("se", -1, 1),
+    ("s", -1, 0), ("sw", -1, -1), ("w", 0, -1), ("nw", 1, -1))
+
+  /** One-shuffle 8-direction neighbor pivot: every source cell contributes
+    * its value to each neighbor position tagged with the direction it is
+    * SEEN FROM there; a pivot materializes the 8 columns. Replaces the
+    * reference's 8 correlated subqueries per row with one equi-join-shaped
+    * aggregation. */
+  private def neighborPivot(src: DataFrame, rowC: String, colC: String,
+                            valC: String, outName: String => String): DataFrame = {
+    val offArr = array(NeighborDirs.map { case (d, dr, dc) =>
+      struct(lit(d).as("d"), lit(dr).as("dr"), lit(dc).as("dc")) }: _*)
+    val contrib = src
+      .select(col(rowC), col(colC), col(valC), explode(offArr).as("o"))
+      // a cell at (r, c) IS the "<d>" neighbor of the cell at (r-dr, c-dc):
+      // push the value there so the pivot reads like the reference's
+      // "value at (a.row+dr, a.col+dc)" correlated subqueries
+      .select((col(rowC) - col("o.dr")).as(rowC), (col(colC) - col("o.dc")).as(colC),
+        col("o.d").as("__d"), col(valC))
+    val pivoted = contrib.groupBy(rowC, colC)
+      .pivot("__d", NeighborDirs.map(_._1)).agg(first(col(valC)))
+    NeighborDirs.foldLeft(pivoted) { case (df, (d, _, _)) =>
+      df.withColumnRenamed(d, outName(d))
+    }
+  }
+
+  /**
+   * multiscaleLCZGrid (GridIndicators.groovy:126-280): the LOD pyramid of a
+   * classified grid. Per input cell: the 8 base-level neighbor LCZ values
+   * (`lcz_primary_<dir>`), the warm count over self+neighbors (`lcz_warm`),
+   * and for every level i in 1..nbLevels the reference's display indices
+   * (`id_row_lod_i` = ⌊(id_row−1)/3^i⌋+1; `id_col_lod_i` carries the
+   * reference's per-level offset quirk, +i−1 — replicated verbatim), the
+   * modal LCZ of the 3^i×3^i block (`lcz_primary_lod_i`, weight tiebreak =
+   * [[lodMode]]; the reference's 103-vs-104 equal-weight tie is
+   * nondeterministic DISTINCT ON — fixed here by value ASC), the per-block
+   * warm/cool base-cell counts (`lcz_warm_lod_i` / `lcz_cool_lod_i`), and
+   * the 8 LOD-neighbor modal values and warm counts
+   * (`lcz_primary_<dir>_lod_i`, `lcz_warm_<dir>_lod_i`).
+   *
+   * Every stage is a hash aggregate or an equi-join on (row, col) keys —
+   * the reference's per-row correlated subqueries never appear.
+   */
+  def multiscaleLczGrid(cells: DataFrame, lczCol: String = "lcz_primary",
+                        nbLevels: Int = 1): DataFrame = {
+    require(nbLevels >= 1 && nbLevels < 10,
+      "the number of levels must be between 1 and 10") // reference bounds
+    val base = cells.localCheckpoint() // read by every level + the base pivot
+    val baseNb = neighborPivot(base.select("id_row", "id_col", lczCol),
+      "id_row", "id_col", lczCol, d => s"${lczCol}_$d")
+    val warmCols = (col(lczCol) +: NeighborDirs.map { case (d, _, _) =>
+      col(s"${lczCol}_$d") }).map(c =>
+      when(c.isin(WarmLcz: _*), 1).otherwise(0))
+    var out = base.join(baseNb, Seq("id_row", "id_col"), "left")
+      .withColumn("lcz_warm", warmCols.reduce(_ + _))
+    for (i <- 1 to nbLevels) {
+      val f = math.pow(3, i).toInt
+      val mode = lodMode(base, lczCol, ReferenceLczWeights, i)
+        .withColumnRenamed("lcz_mode", s"${lczCol}_lod_$i").drop("cnt")
+      val warm = lodWarmCool(base, lczCol, i)
+        .withColumnRenamed("lcz_warm", s"lcz_warm_lod_$i")
+        .withColumnRenamed("lcz_cool", s"lcz_cool_lod_$i")
+      val level = mode.join(warm, Seq("lod_row", "lod_col")).localCheckpoint()
+      val levelNb = neighborPivot(
+        level.select(col("lod_row"), col("lod_col"), col(s"${lczCol}_lod_$i")),
+        "lod_row", "lod_col", s"${lczCol}_lod_$i", d => s"${lczCol}_${d}_lod_$i")
+      val levelWarmNb = neighborPivot(
+        level.select(col("lod_row"), col("lod_col"), col(s"lcz_warm_lod_$i")),
+        "lod_row", "lod_col", s"lcz_warm_lod_$i", d => s"lcz_warm_${d}_lod_$i")
+      val full = level
+        .join(levelNb, Seq("lod_row", "lod_col"), "left")
+        .join(levelWarmNb, Seq("lod_row", "lod_col"), "left")
+      out = out
+        .withColumn("lod_row", floor((col("id_row") - 1) / f).cast("long"))
+        .withColumn("lod_col", floor((col("id_col") - 1) / f).cast("long"))
+        .join(full, Seq("lod_row", "lod_col"), "left")
+        // reference display indices (:146-152; the id_col offset grows by
+        // one per level — quirk replicated)
+        .withColumn(s"id_row_lod_$i", (col("lod_row") + 1).cast("int"))
+        .withColumn(s"id_col_lod_$i", (col("lod_col") + (i - 1)).cast("int"))
+        .drop("lod_row", "lod_col")
+    }
+    out
+  }
+
   /**
    * Grid population disaggregation (GridIndicators.groovy:45-109): each
    * population zone's counts are split across the grid cells it intersects,

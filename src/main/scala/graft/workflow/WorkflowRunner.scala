@@ -508,15 +508,25 @@ object WorkflowRunner {
     out
   }
 
-  /** Back-compat entry over the runner's Results (the config-gated path). */
+  /** Back-compat entry over the runner's Results (the config-gated path).
+    * Honors `g.lczLod`: when set and LCZ_PRIMARY was computed, the grid is
+    * pushed through the multiscale LOD pyramid (the reference workflow's
+    * post-rasterize multiscaleLCZGrid call, WorkflowOSM.groovy:961-969). */
   def rasterizeIndicators(layers: Layers, results: Results,
                           g: WorkflowConfig.GridParams,
                           grid: CellGrid, res: Int,
                           rsuLcz: Option[DataFrame],
                           rsuUtrfArea: Option[DataFrame],
                           rsuUtrfFloorArea: Option[DataFrame]): Option[DataFrame] =
-    results.grid.map(cells => rasterizeIndicators(layers, cells, g.indicators,
-      grid, res, rsuLcz, rsuUtrfArea, rsuUtrfFloorArea))
+    results.grid.map { cells =>
+      val out = rasterizeIndicators(layers, cells, g.indicators,
+        grid, res, rsuLcz, rsuUtrfArea, rsuUtrfFloorArea)
+      g.lczLod match {
+        case Some(lod) if lod > 0 && out.columns.contains("lcz_primary") =>
+          graft.indicators.GridIndicators.multiscaleLczGrid(out, "lcz_primary", lod)
+        case _ => out
+      }
+    }
 
   def rasterizeIndicators(layers: Layers, results: Results,
                           g: WorkflowConfig.GridParams,

@@ -96,6 +96,16 @@ class WorkflowRunnerSpec extends SparkTestBase {
     val row = rast.where(col("id_col") === 1 && col("id_row") === 1)
       .select("lcz_primary", "lcz_primary_2").head()
     assert(row.getInt(0) == 2 && math.abs(row.getDouble(1) - 1.0) < 1e-9)
+    // lcz_lod in the config pushes the grid through the LOD pyramid
+    val pLod = WorkflowConfig.parse(
+      """{"rsu_indicators": {"surface_vegetation": 2500, "surface_hydro": 2500},
+        |"grid_indicators": {"x_size": 50, "y_size": 50, "lcz_lod": 1,
+        |  "indicators": ["LCZ_FRACTION", "LCZ_PRIMARY"]}}""".stripMargin)
+    val rastLod = WorkflowRunner.rasterizeIndicators(
+      lyr, res, pLod.gridIndicators.get, grid, 10, Some(rsuLcz), None, None).get
+    assert(rastLod.columns.contains("lcz_primary_lod_1"))
+    assert(rastLod.columns.contains("lcz_warm_lod_1") && rastLod.columns.contains("lcz_primary_n"))
+    assert(rastLod.count() == res.grid.get.count())
   }
 
   test("lake root makes the chain resumable: second run reads committed stages") {
