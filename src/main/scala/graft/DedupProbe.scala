@@ -64,6 +64,26 @@ object DedupProbe {
     time("hot_cand_df100")(candCount(Some(100)))
     time("hot_full_df100")(
       Dedup.ngramJaccardPairs(hot, "doc_id", "text", 3, 0.12, maxDf = Some(100)).count())
+
+    // ---- band-bucket skew demonstration (round 4): inject a boilerplate
+    // clique — identical docs land in the SAME band bucket for every band,
+    // so the uncapped within-bucket self-join is quadratic in clique size;
+    // the maxBucket census drops those buckets while the planted normal
+    // pairs (tiny buckets) are untouched. Candidates here = verified pairs
+    // (verify is exact either way); the candidate-stage blowup is what the
+    // timing shows.
+    val boiler = s.range(0, 5000).select(
+      (col("id") + 10000000L).as("doc_id"),
+      lit((1 to 40).map(i => s"boiler$i").mkString(" ")).as("text"))
+    val mixed = docs.select("doc_id", "text").unionAll(boiler)
+    time("lsh_boiler_nocap")(
+      Dedup.minhashLsh(mixed, "doc_id", "text", 3, 16, 3, 0.5).count())
+    time("lsh_boiler_cap1k")(
+      Dedup.minhashLsh(mixed, "doc_id", "text", 3, 16, 3, 0.5,
+        maxBucket = Some(1000)).count())
+    time("simhash_boiler_cap1k")(
+      Dedup.simhashPairs(mixed, "doc_id", "text", 3,
+        maxBucket = Some(1000)).count())
     s.stop()
   }
 }
