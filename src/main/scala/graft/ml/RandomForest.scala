@@ -42,6 +42,57 @@ object RandomForest {
     if (s.contains('.') || s.contains('E')) s else s + ".0"
   }
 
+  // ---- persistence ---------------------------------------------------------
+  // The reference ships trained typology/height models as serialized smile
+  // objects downloaded at runtime (TypologyClassification.groovy modelCheck/
+  // applyRandomForestModel). The counterpart here is a plain-text format a
+  // Forest round-trips through EXACTLY: Double.toString's shortest
+  // representation parses back to the same bits, so a saved model applies
+  // bit-identically. Line format:
+  //   graft-forest v1 / one `feature <name>` line each / per tree: `tree`
+  //   then a preorder walk of `S <featureIdx> <threshold>` / `L <value>`.
+
+  def save(forest: Forest, path: String): Unit = {
+    val sb = new StringBuilder("graft-forest v1\n")
+    forest.features.foreach(f => sb.append("feature ").append(f).append('\n'))
+    def walk(n: Node): Unit = n match {
+      case Split(f, thr, l, r) =>
+        sb.append("S ").append(f).append(' ').append(thr).append('\n')
+        walk(l); walk(r)
+      case Leaf(v) => sb.append("L ").append(v).append('\n')
+    }
+    forest.trees.foreach { t => sb.append("tree\n"); walk(t) }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def load(path: String): Forest = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path),
+      java.nio.charset.StandardCharsets.UTF_8).iterator()
+    require(lines.hasNext && lines.next() == "graft-forest v1", "bad model header")
+    val features = Seq.newBuilder[String]
+    val trees = Seq.newBuilder[Node]
+    var pending: String = null
+    def nextLine(): String =
+      if (pending != null) { val l = pending; pending = null; l } else lines.next()
+    def readNode(): Node = {
+      val parts = nextLine().split(' ')
+      parts(0) match {
+        case "S" => Split(parts(1).toInt, parts(2).toDouble, readNode(), readNode())
+        case "L" => Leaf(parts(1).toDouble)
+        case other => throw new IllegalArgumentException(s"bad model line: $other")
+      }
+    }
+    while (lines.hasNext || pending != null) {
+      val l = nextLine()
+      if (l.startsWith("feature ")) features += l.stripPrefix("feature ")
+      else if (l == "tree") trees += readNode()
+      else if (l.nonEmpty) throw new IllegalArgumentException(s"bad model line: $l")
+    }
+    Forest(features.result(), trees.result())
+  }
+
   // ---- Catalyst compilation ------------------------------------------------
 
   private def treeColumn(n: Node, feats: Map[String, Column], features: Seq[String]): Column =

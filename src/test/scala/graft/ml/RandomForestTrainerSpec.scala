@@ -61,6 +61,19 @@ class RandomForestTrainerSpec extends SparkTestBase {
     assert(wrong.toDouble / 4000 < 0.05) // best quantile cut lands within one bucket of 1000
   }
 
+  test("save/load round-trips the forest exactly (bit-identical apply)") {
+    val forest = RandomForestTrainer.train(grid, Seq("x1", "x2", "x3"), "y",
+      numTrees = 3, maxDepth = 4, numClasses = 3)
+    val path = java.nio.file.Files.createTempFile("forest", ".model").toString
+    RandomForest.save(forest, path)
+    val loaded = RandomForest.load(path)
+    assert(loaded == forest) // case-class equality over the whole tree set
+    val reg = RandomForestTrainer.train(grid, Seq("x1", "x2"), "yr",
+      numTrees = 2, maxDepth = 6, numClasses = 0)
+    RandomForest.save(reg, path)
+    assert(RandomForest.load(path) == reg)
+  }
+
   test("determinism: same seed -> identical forest") {
     def f() = RandomForestTrainer.train(grid, Seq("x1", "x2", "x3"), "y",
       numTrees = 2, maxDepth = 3, numClasses = 3, subsample = 0.8, mtry = 2, seed = 5L)
