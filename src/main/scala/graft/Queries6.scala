@@ -547,6 +547,41 @@ object Queries6 {
         .orderBy("id_grid")
     }),
 
+    // -- multi-scale population chain (PopulationIndicators.groovy:82-163):
+    //    building floor-area disaggregation -> per-RSU sums -> the grid
+    //    building-share split (pop x intersection/building-area). Strips
+    //    crossing cell borders make grid != rsu sums. -----------------------
+    "multiscale_population" -> ((s, dir) => {
+      import s.implicits._
+      val b = slotBuildings(s, dir).unionByName(strips(s))
+        .withColumn("main_use",
+          when(col("id_build") >= 100000L || col("id_build") % 2 === 0,
+            "residential").otherwise("commercial"))
+        // strips tie 50/50 between two cells: assigned to their LEFT cell
+        .withColumn("id_rsu",
+          (floor(col("x0") / 50).cast("int") * 3 + floor(col("y0") / 50).cast("int") + 1))
+      val popZones = Seq((0.0, 1000.0), (50.0, 2000.0), (100.0, 3000.0))
+        .toDF("zy", "pop")
+        .select(G.stMakeBox(lit(0.0), col("zy"), lit(150.0), col("zy") + 50.0)
+          .as("the_geom"), col("pop"))
+      val popTable = graft.indicators.PopulationIndicators.formatPopulationTable(
+        popZones, Seq("pop"), None, grid, Res)
+      val (bPop, rsuPop, gridPop) = graft.indicators.PopulationIndicators
+        .multiScalePopulation(popTable, Seq("pop"), b,
+          Some(s.range(1, 10).select(col("id").cast("int").as("id_rsu"))),
+          Some(cells9(s)), Seq("residential"), grid, Res)
+      val rsuOut = rsuPop.get.select(col("id_rsu").cast("int").as("id_rsu"),
+        round(col("sum_pop"), 9).as("rsu_pop"))
+      val gridOut = gridPop.get.select(
+        (col("id_grid") % 3 * 3 + floor(col("id_grid") / 3) + 1).cast("int").as("id_rsu"),
+        round(col("sum_pop"), 9).as("grid_pop"))
+      rsuOut.join(gridOut, "id_rsu")
+        .join(bPop.groupBy(col("id_rsu").cast("int").as("id_rsu"))
+          .agg(sum(when(col("pop") > 0, 1).otherwise(0)).cast("long").as("n_pop_buildings")),
+          "id_rsu")
+        .orderBy("id_rsu")
+    }),
+
     // -- multiscale LCZ LOD pyramid (GridIndicators.groovy:126-280,
     //    multiscaleLCZGrid; the grid_indicators lcz_lod config consumer):
     //    base 8-neighbor LCZ values + warm counts, modal LOD aggregation
@@ -1093,6 +1128,31 @@ object Queries6 {
         |  round(5 + (c - 1) * 2.5 + 1.25, 9) AS cx,
         |  round(-3 + (r - 1) * 2.5 + 1.25, 9) AS cy
         |FROM n ORDER BY id_pop""".stripMargin,
+
+    "multiscale_population" ->
+      s"""WITH $slotBuildingsSql, $stripsSql,
+        |allb AS (
+        |  SELECT id_build, x0, y0, w, h, lev, id_build % 2 = 0 AS res FROM gb
+        |  UNION ALL SELECT CAST(id_build AS BIGINT), x0, y0, w, h, lev, true FROM strips),
+        |bt AS (SELECT *, CAST(y0 AS BIGINT) // 50 AS z,
+        |    CAST((CAST(x0 AS BIGINT) // 50) * 3 + CAST(y0 AS BIGINT) // 50 + 1 AS INTEGER) AS id_rsu,
+        |    w * h * lev AS wt FROM allb),
+        |wz AS (SELECT z, sum(wt) AS sw FROM bt WHERE res GROUP BY 1),
+        |bp AS (SELECT bt.*, CASE WHEN res THEN 1000.0 * (z + 1) * wt / wz.sw ELSE 0.0 END AS pop
+        |  FROM bt JOIN wz USING (z)),
+        |r AS (SELECT id_rsu, sum(pop) AS rsu_pop,
+        |    CAST(sum(CASE WHEN pop > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pop_buildings
+        |  FROM bp GROUP BY 1),
+        |-- grid building-share split: slots land whole; strips give half to
+        |-- each of the two cells they straddle
+        |gshare AS (
+        |  SELECT id_rsu, pop AS share FROM bp WHERE id_build < 100000
+        |  UNION ALL SELECT id_rsu, pop * (15.0 / 30.0) FROM bp WHERE id_build >= 100000
+        |  UNION ALL SELECT id_rsu + 3, pop * (15.0 / 30.0) FROM bp WHERE id_build >= 100000),
+        |g AS (SELECT id_rsu, sum(share) AS grid_pop FROM gshare GROUP BY 1)
+        |SELECT r.id_rsu, round(r.rsu_pop, 9) AS rsu_pop, round(g.grid_pop, 9) AS grid_pop,
+        |  r.n_pop_buildings
+        |FROM r JOIN g USING (id_rsu) ORDER BY r.id_rsu""".stripMargin,
 
     "grid_multiscale_lcz" ->
       """WITH c AS (SELECT CAST(range AS BIGINT) AS id_grid,
