@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.geom.{GeoFunctions => G}
+
+/** Generic tag-filtered transforms: relation branches, columnsToKeep drops,
+  * bounding-geometry filter — the paths the driver scene leaves empty. */
+class OsmTransformSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Scene: way 1 = closed 10x10 square (building=yes, height=7); way 2 =
+    * open 2-segment chain (highway=primary); ways 3+4 = two half-rings of a
+    * multipolygon relation 9 (landuse=forest) forming a 20x20 square; node
+    * 100 tagged amenity=cafe. */
+  private def tables: OsmXml.Tables = {
+    val nodes = Seq(
+      (1L, 0.0, 0.0), (2L, 10.0, 0.0), (3L, 10.0, 10.0), (4L, 0.0, 10.0),
+      (10L, 30.0, 0.0), (11L, 40.0, 0.0), (12L, 40.0, 5.0),
+      (20L, 50.0, 0.0), (21L, 70.0, 0.0), (22L, 70.0, 20.0), (23L, 50.0, 20.0),
+      (100L, 5.0, 5.0)).toDF("node_id", "x", "y")
+    val wayNodes = Seq(
+      (1L, 0, 1L), (1L, 1, 2L), (1L, 2, 3L), (1L, 3, 4L), (1L, 4, 1L),
+      (2L, 0, 10L), (2L, 1, 11L), (2L, 2, 12L),
+      (3L, 0, 20L), (3L, 1, 21L), (3L, 2, 22L),
+      (4L, 0, 22L), (4L, 1, 23L), (4L, 2, 20L)).toDF("way_id", "pos", "node_id")
+    val wayTags = Seq(
+      (1L, "building", "yes"), (1L, "height", "7"),
+      (2L, "highway", "primary"), (2L, "name", "rue")).toDF("way_id", "tag_key", "tag_value")
+    val nodeTags = Seq((100L, "amenity", "cafe")).toDF("node_id", "tag_key", "tag_value")
+    val relMembers = Seq((9L, 3L, "outer", 0), (9L, 4L, "outer", 1))
+      .toDF("id_relation", "id_way", "role", "way_order")
+    val relTags = Seq((9L, "type", "multipolygon"), (9L, "landuse", "forest"))
+      .toDF("id_relation", "tag_key", "tag_value")
+    OsmXml.Tables(nodes, nodeTags, wayNodes, wayTags, relMembers, relTags)
+  }
+
+  test("toPolygons: relation rings merge into one polygon, union pads columns") {
+    val out = OsmTransform.toPolygons(tables,
+      Seq(OsmTransform.TagFilter(Seq("building", "landuse"))))
+      .select(col("id"), round(G.stArea(col("the_geom")), 6).as("area"),
+        col("building"), col("landuse"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), Option(r.getString(2)), Option(r.getString(3)))).toMap
+    assert(out.keySet == Set("w1", "r9"))
+    assert(out("w1") == ((100.0, Some("yes"), None)))
+    assert(out("r9") == ((400.0, None, Some("forest"))))
+  }
+
+  test("toLines: relation member linework merges; tag-value filter applies") {
+    val out = OsmTransform.toLines(tables,
+      Seq(OsmTransform.TagFilter(Seq("highway"), Seq("primary")),
+        OsmTransform.TagFilter(Seq("landuse"))))
+      .select(col("id"), round(G.stLength(col("the_geom")), 6).as("len"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // way 2: 10 + 5; relation 9: the two half-rings merge into the closed
+    // 20x20 ring (perimeter 80)
+    assert(out == Map("w2" -> 15.0, "r9" -> 80.0))
+  }
+
+  test("toPoints + columnsToKeep + bounding geometry") {
+    val bound = graft.geom.Geo.toWkb(graft.geom.Geo.box(0, 0, 20, 20))
+    val out = OsmTransform.toPoints(tables,
+      Seq(OsmTransform.TagFilter(Seq("amenity"))),
+      columnsToKeep = Seq("amenity", "name"), bound = Some(bound))
+      .select("node_id", "amenity", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(out.toSeq == Seq((100L, "cafe", None)))
+    // a bound excluding the node drops it
+    val far = graft.geom.Geo.toWkb(graft.geom.Geo.box(500, 500, 600, 600))
+    assert(OsmTransform.toPoints(tables,
+      Seq(OsmTransform.TagFilter(Seq("amenity"))),
+      columnsToKeep = Seq("amenity"), bound = Some(far)).count() == 0)
+  }
+}
