@@ -43,10 +43,15 @@ object GridIndicators {
    */
   def lodMode(cells: DataFrame, lczCol: String, weights: Map[Int, Int], level: Int): DataFrame = {
     val f = math.pow(3, level).toInt
-    val weightExpr = weights.foldLeft(lit(0)) { case (acc, (k, w)) =>
-      when(col(lczCol) === k, w).otherwise(acc)
-    }
+    // one map-literal lookup (not a folded CaseWhen chain — codegen assembly
+    // is quadratic in branches); unmapped classes fall back to their own
+    // value, the reference's `ELSE LCZ_PRIMARY` (GridIndicators.groovy:206)
+    val weightExpr = coalesce(
+      element_at(typedLit(weights), col(lczCol).cast("int")), col(lczCol))
     val counts = cells
+      // NULL-classified cells are not modal candidates (the reference's
+      // WHERE LCZ_PRIMARY IS NOT NULL, GridIndicators.groovy:197-208)
+      .where(col(lczCol).isNotNull)
       .withColumn("lod_row", floor((col("id_row") - 1) / f).cast("long"))
       .withColumn("lod_col", floor((col("id_col") - 1) / f).cast("long"))
       .groupBy("lod_row", "lod_col", lczCol)

@@ -204,6 +204,9 @@ object BdTopoV3 {
         .unionByName(impPart(equipementDeTransport, lit("transport"), lit(true)))
         .unionByName(activity.where(col("type") =!= "unknown")
           .select(col("the_geom"), col("id").as("id_source"), col("type")))
+        // reference quirk replicated: the cimetiere branch is the ONLY
+        // impervious part without the zone_extended clip
+        // (InputDataLoading.groovy:698-699 selects straight FROM $cimetiere)
         .unionByName(cimetiere.select(col("the_geom"),
           col("id").as("id_source"), lit("cemetery").as("type")))
         .unionByName(impPart(pisteDAerodrome, lit("transport"),

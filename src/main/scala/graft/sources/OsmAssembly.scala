@@ -43,6 +43,21 @@ object OsmAssembly {
     nodes.where(pred).select(col("node_id"),
       graft.geom.GeoFunctions.stPoint(col("x"), col("y")).as("the_geom"))
 
+  /** Per-way open linework `(way_id, __line)` — nodes joined and collected
+    * in order, LineString per way (null under 2 points). Shared by the
+    * relation assembly and the generic transform API. */
+  def wayLinework(wayNodes: DataFrame, nodes: DataFrame): DataFrame = {
+    val mkLine = udf { (pts: Seq[Row]) =>
+      val cs = pts.sortBy(_.getInt(0))
+        .map(r => new Coordinate(r.getDouble(1), r.getDouble(2))).toArray
+      if (cs.length >= 2) Geo.toWkb(Geo.factory.createLineString(cs)) else null
+    }
+    wayNodes.join(nodes, "node_id")
+      .groupBy("way_id")
+      .agg(collect_list(struct(col("pos"), col("x"), col("y"))).as("__pts"))
+      .select(col("way_id"), mkLine(col("__pts")).as("__line"))
+  }
+
   /**
    * Multipolygon relations assembled into polygons with holes — the
    * reference's `extractRelationsAsPolygons` (osmtools
@@ -71,15 +86,7 @@ object OsmAssembly {
       .where(col("tag_key") === "type" && col("tag_value") === "multipolygon")
       .select("id_relation").distinct()
     val mem = members.join(mp, "id_relation").where(col("role").isin("outer", "inner"))
-    val mkLine = udf { (pts: Seq[Row]) =>
-      val cs = pts.sortBy(_.getInt(0))
-        .map(r => new Coordinate(r.getDouble(1), r.getDouble(2))).toArray
-      if (cs.length >= 2) Geo.toWkb(Geo.factory.createLineString(cs)) else null
-    }
-    val wayLines = wayNodes.join(nodes, "node_id")
-      .groupBy("way_id")
-      .agg(collect_list(struct(col("pos"), col("x"), col("y"))).as("__pts"))
-      .select(col("way_id"), mkLine(col("__pts")).as("__line"))
+    val wayLines = wayLinework(wayNodes, nodes)
     // rings per (relation, role): linemerge member lines; closed strands
     // with >= 4 points become polygons (ST_MAKEPOLYGON on closed rings)
     val ringsU = udf { (gs: Seq[Array[Byte]]) =>

@@ -89,16 +89,10 @@ object OsmTransform {
     boundFilter(pts, bound)
   }
 
-  /** Member-way linework of the selected relations, merged per relation. */
+  /** Member-way linework of the selected relations, merged per relation
+    * (coordinate assembly shared with [[OsmAssembly.wayLinework]]). */
   private def relationLines(t: OsmXml.Tables, relIds: DataFrame): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.locationtech.jts.geom.Coordinate
     import graft.geom.Geo
-    val mkLine = udf { (pts: Seq[Row]) =>
-      val cs = pts.sortBy(_.getInt(0))
-        .map(r => new Coordinate(r.getDouble(1), r.getDouble(2))).toArray
-      if (cs.length >= 2) Geo.toWkb(Geo.factory.createLineString(cs)) else null
-    }
     val merge = udf { (gs: Seq[Array[Byte]]) =>
       val m = new org.locationtech.jts.operation.linemerge.LineMerger()
       gs.foreach(b => if (b != null) m.add(Geo.fromWkb(b)))
@@ -108,10 +102,7 @@ object OsmTransform {
       if (ls.isEmpty) null
       else Geo.toWkb(Geo.factory.buildGeometry(ls.asJava))
     }
-    val wayLines = t.wayNodes.join(t.nodes, "node_id")
-      .groupBy("way_id")
-      .agg(collect_list(struct(col("pos"), col("x"), col("y"))).as("__pts"))
-      .select(col("way_id"), mkLine(col("__pts")).as("__line"))
+    val wayLines = OsmAssembly.wayLinework(t.wayNodes, t.nodes)
     t.relationMembers.join(relIds, "id_relation")
       .join(wayLines, col("id_way") === col("way_id"))
       .groupBy("id_relation")

@@ -427,10 +427,10 @@ object WorkflowChain {
       .withColumn("i_typo", RandomForest.argmaxColumn(votes, typoNames))
       .select("id_build", "id_rsu", "i_typo")
       .localCheckpoint() // read by both scale aggregations
+    val present = UtrfCorrespondence.filter(
+      buildingUtrf.select("i_typo").distinct().collect()
+        .map(_.getString(0)).toSet) // one census feeds BOTH aggregations
     def rsuAggregation(valueCol: String): DataFrame = {
-      val present = UtrfCorrespondence.filter(
-        buildingUtrf.select("i_typo").distinct().collect()
-          .map(_.getString(0)).toSet)
       val joined = buildingIndics
         .select(col("id_build"), col("id_rsu"), col(valueCol).as("__v"))
         .where(col("id_rsu").isNotNull)

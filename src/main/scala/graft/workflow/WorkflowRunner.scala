@@ -355,7 +355,6 @@ object WorkflowRunner {
       val blockRel = SpatialJoin.intersectsJoin(
           blocksCut.select(col("id_block"), col("the_geom").as("__blk")), "__blk",
           cells.select(col("id_grid"), col("the_geom").as("__cg")), "__cg", grid, res)
-        .where(G.stIntersects(col("__blk"), col("__cg")))
       join(GenericIndicators.unweightedOperationFromLowerScale(
         blockRel.select("id_grid", "id_block"), cells.select("id_grid", "the_geom"),
         "id_grid", "id_block", Map("block" -> Seq(GenericIndicators.OpNbDens))))
