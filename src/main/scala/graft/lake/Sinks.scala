@@ -100,4 +100,29 @@ object Sinks {
       w.write("]}")
     } finally w.close()
   }
+
+  /**
+   * saveTablesAsFiles (DataUtils.groovy:101-131): write each named layer
+   * under `dir/<name>.<ext>` — geometry tables (a `the_geom` column) as
+   * GeoJSON (the fgb stand-in) plus a parquet twin (the lake-native
+   * format the reference's FlatGeobuf plays for them), plain tables as
+   * CSV with header. Returns name → written paths.
+   */
+  def saveLayers(layers: Map[String, DataFrame], dir: String,
+                 geomCol: String = "the_geom"): Map[String, Seq[String]] = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    layers.map { case (name, df) =>
+      if (df.columns.contains(geomCol)) {
+        val gj = s"$dir/$name.geojson"
+        writeGeoJson(df, geomCol, gj)
+        val pq = s"$dir/$name.parquet"
+        df.write.mode("overwrite").parquet(pq)
+        name -> Seq(gj, pq)
+      } else {
+        val csv = s"$dir/$name.csv"
+        df.write.mode("overwrite").option("header", "true").csv(csv)
+        name -> Seq(csv)
+      }
+    }
+  }
 }

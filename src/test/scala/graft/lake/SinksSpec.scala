@@ -52,4 +52,22 @@ class SinksSpec extends SparkTestBase {
     assert(feats(0).isNullAt(2) && feats(1).isNullAt(2))
     assert(feats(2).getDouble(2) == 1.5)
   }
+
+  test("saveLayers routes geometry tables to GeoJSON+parquet, plain to CSV") {
+    import spark.implicits._
+    import graft.geom.{GeoFunctions => G}
+    val dir = java.nio.file.Files.createTempDirectory("layers-out").toString
+    val geomDf = Seq((1, 0.0), (2, 10.0)).toDF("id", "x")
+      .select(col("id"), G.stPoint(col("x"), col("x")).as("the_geom"))
+    val plainDf = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val written = Sinks.saveLayers(Map("pts" -> geomDf, "stats" -> plainDf), dir)
+    assert(written("pts").exists(_.endsWith(".geojson")))
+    assert(written("pts").exists(_.endsWith(".parquet")))
+    assert(written("stats").head.endsWith(".csv"))
+    val gj = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/pts.geojson")), "UTF-8")
+    assert(gj.contains("\"FeatureCollection\"") && gj.contains("[10.0,10.0]"))
+    assert(spark.read.parquet(s"$dir/pts.parquet").count() == 2)
+    assert(spark.read.option("header", "true").csv(s"$dir/stats.csv").count() == 2)
+  }
 }
