@@ -527,7 +527,14 @@ object WorkflowChain {
    */
   def computeAllGeoIndicators(spark: SparkSession, layers: WorkflowRunner.Layers,
                               params: WorkflowConfig.Params,
-                              grid: CellGrid, res: Int): AllIndicators = {
+                              grid: CellGrid, res: Int,
+                              lakeRoot: Option[String] = None): AllIndicators = {
+    // north-rule resume: with a lake root every per-scale indicator table
+    // commits through Lake.stage (per-partition lineage + metrics, atomic
+    // manifest) and a second run reads the snapshots back instead of
+    // recomputing — same contract as WorkflowRunner.run's staged chain
+    def staged(name: String)(f: => DataFrame): DataFrame =
+      lakeRoot.fold(f)(root => graft.lake.Lake.stage(spark, root, name)(f))
     val uses = if (params.indicatorUse.nonEmpty) params.indicatorUse
       else Seq("LCZ", "UTRF", "TEB")
     // spatial units
@@ -542,22 +549,27 @@ object WorkflowChain {
     val rsuRel = SpatialJoin.assignMaxOverlap(layers.building, "id_build", "the_geom",
       rsu.select("id_rsu", "the_geom"), "id_rsu", "the_geom", grid, res)
     // building indicators (with relations attached)
-    val bInd = computeBuildingsIndicators(layers.building, layers.road, uses, grid, res)
-      .join(blockRel, Seq("id_build"), "left")
-      .join(rsuRel, Seq("id_build"), "left")
-      .localCheckpoint()
+    val bInd = staged("building_indicators_full") {
+      computeBuildingsIndicators(layers.building, layers.road, uses, grid, res)
+        .join(blockRel, Seq("id_build"), "left")
+        .join(rsuRel, Seq("id_build"), "left")
+    }.localCheckpoint()
     // block indicators (UTRF only, like the reference)
     val blkRsuRel = SpatialJoin.assignMaxOverlap(blocks, "id_block", "the_geom",
       rsu.select("id_rsu", "the_geom"), "id_rsu", "the_geom", grid, res)
     val blkInd =
       if (uses.map(_.toUpperCase).contains("UTRF"))
-        Some(computeBlockIndicators(bInd, blocks.select("id_block", "the_geom"))
-          .join(blkRsuRel, Seq("id_block"), "left").localCheckpoint())
+        Some(staged("block_indicators_full") {
+          computeBlockIndicators(bInd, blocks.select("id_block", "the_geom"))
+            .join(blkRsuRel, Seq("id_block"), "left")
+        }.localCheckpoint())
       else None
     // RSU indicators
-    val rsuInd = computeRsuIndicators(bInd.where(col("id_rsu").isNotNull), rsu,
-      layers.road, layers.vegetation, layers.water, layers.impervious, layers.rail,
-      uses, params.svfSimplified, grid, res).localCheckpoint()
+    val rsuInd = staged("rsu_indicators_full") {
+      computeRsuIndicators(bInd.where(col("id_rsu").isNotNull), rsu,
+        layers.road, layers.vegetation, layers.water, layers.impervious, layers.rail,
+        uses, params.svfSimplified, grid, res)
+    }.localCheckpoint()
     // LCZ typology (computeTypologyIndicators :799-829)
     val rsuLcz =
       if (uses.map(_.toUpperCase).contains("LCZ")) {

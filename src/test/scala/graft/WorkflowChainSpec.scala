@@ -149,6 +149,33 @@ class WorkflowChainSpec extends SparkTestBase {
     assert(gatheredB.count() == all.buildingIndicators.count())
   }
 
+  test("full chain resumes from the lake: second run reads committed stages") {
+    import graft.workflow.{WorkflowChain, WorkflowConfig, WorkflowRunner}
+    import graft.lake.Lake
+    val root = java.nio.file.Files.createTempDirectory("chain-lake").toString
+    val zone = spark.range(1).select(lit(1).as("id_zone"),
+      G.stMakeBox(lit(-20.0), lit(-20.0), lit(180.0), lit(70.0)).as("the_geom"))
+    val building = GeoFixture.buildingDf(spark)
+      .where(G.stX(G.stCentroid(col("the_geom"))) < 500)
+      .select("id_build", "the_geom", "height_wall", "height_roof", "nb_lev")
+      .withColumn("type", lit("house")).localCheckpoint()
+    val layers = WorkflowRunner.Layers(zone = zone, building = building,
+      vegetation = Some(GeoFixture.vegetDf(spark)),
+      water = Some(GeoFixture.hydroDf(spark)))
+    val p = WorkflowConfig.Defaults.copy(indicatorUse = Seq("LCZ", "UTRF"),
+      surfaceVegetation = 2500, surfaceHydro = 2500, svfSimplified = true)
+    val r1 = WorkflowChain.computeAllGeoIndicators(spark, layers, p,
+      CellGrid.fixture, 10, lakeRoot = Some(root))
+    val n1 = r1.rsuIndicators.count()
+    assert(Lake.isCommitted(root, "building_indicators_full"))
+    assert(Lake.isCommitted(root, "block_indicators_full"))
+    assert(Lake.isCommitted(root, "rsu_indicators_full"))
+    val r2 = WorkflowChain.computeAllGeoIndicators(spark, layers, p,
+      CellGrid.fixture, 10, lakeRoot = Some(root))
+    assert(r2.rsuIndicators.count() == n1)
+    assert(Lake.currentVersion(root, "rsu_indicators_full") == 1) // no recompute
+  }
+
   test("chain is deterministic across runs") {
     val (tsu1, _, rel1, agg1) = runChain()
     val (tsu2, _, rel2, agg2) = runChain()
