@@ -296,7 +296,15 @@ object Queries6 {
       graft.workflow.WorkflowChain.AllIndicators]()
   private val heightCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def e2eChain(s: SparkSession, dir: String): graft.workflow.WorkflowChain.AllIndicators =
+  /** Drop entries of stopped sessions so a long-lived embedding never pins
+    * checkpoint RDD references past the owning session's lifetime (entries
+    * are evicted lazily, on the next cache access from ANY session). */
+  private def evictStopped(): Unit = {
+    e2eCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    heightCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+  }
+  private def e2eChain(s: SparkSession, dir: String): graft.workflow.WorkflowChain.AllIndicators = {
+    evictStopped()
     e2eCache.computeIfAbsent((s, dir), { _ =>
       val p = WorkflowConfig.Defaults.copy(indicatorUse = Seq("LCZ", "UTRF", "TEB"),
         surfaceVegetation = 1e6, surfaceHydro = 1e6, svfSimplified = true)
@@ -306,6 +314,7 @@ object Queries6 {
         blockIndicators = all.blockIndicators.map(_.localCheckpoint()),
         rsuIndicators = all.rsuIndicators.localCheckpoint())
     })
+  }
 
   /** Oracle cells keyed by the chain's minted TSU ids. */
   private val rcellsSql =
@@ -477,6 +486,7 @@ object Queries6 {
         surfaceVegetation = 1e6, surfaceHydro = 1e6, svfSimplified = true)
       // memoized like e2eChain: the estimation branch runs its own
       // UTRF-gated chain, so warm+timed bench runs would pay it twice
+      evictStopped()
       val building = heightCache.computeIfAbsent((s, dir), { _ =>
         WorkflowChain.estimateBuildingHeight(s,
           e2eLayers(s, dir), estimate, forest, p, grid, Res)._1.localCheckpoint()

@@ -45,9 +45,12 @@ object GridIndicators {
     val f = math.pow(3, level).toInt
     // one map-literal lookup (not a folded CaseWhen chain — codegen assembly
     // is quadratic in branches); unmapped classes fall back to their own
-    // value, the reference's `ELSE LCZ_PRIMARY` (GridIndicators.groovy:206)
+    // value, the reference's `ELSE LCZ_PRIMARY` (GridIndicators.groovy:206).
+    // try_element_at, not element_at: under Spark 4 ANSI mode a map-key miss
+    // THROWS, which would make the coalesce fallback unreachable for any
+    // class outside the mapped 17 on an arbitrary caller-supplied grid.
     val weightExpr = coalesce(
-      element_at(typedLit(weights), col(lczCol).cast("int")), col(lczCol))
+      try_element_at(typedLit(weights), col(lczCol).cast("int")), col(lczCol))
     val counts = cells
       // NULL-classified cells are not modal candidates (the reference's
       // WHERE LCZ_PRIMARY IS NOT NULL, GridIndicators.groovy:197-208)

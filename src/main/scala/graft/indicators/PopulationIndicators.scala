@@ -36,12 +36,31 @@ object PopulationIndicators {
           .dropDuplicates() // a row intersecting several zone parts stays once
       case None => repaired
     }
+    // Dense ids over global (cx, cy) order WITHOUT a data-scale global
+    // window (the per-key rank + cumulative-offset pattern the engine's
+    // other minting paths use — SpatialUnits.mintIds, OsmLayers:152). The
+    // partition key is the centroid's x-BAND (one grid-cell wide): a band is
+    // a monotone function of cx, so concatenating bands in band order
+    // reproduces the EXACT global (cx, cy) lexicographic ids the old global
+    // window minted; in-band ranks run partitioned, and the offsets window
+    // covers only #occupied-bands rows (metadata-scale, not data-scale).
+    val band = grid.cellSize(res)
     val withC = filtered
       .withColumn("__cx", G.stX(G.stCentroid(col("the_geom"))))
       .withColumn("__cy", G.stY(G.stCentroid(col("the_geom"))))
-    withC.withColumn("id_pop",
-        row_number().over(Window.orderBy(col("__cx"), col("__cy"))).cast("int"))
-      .drop("__cx", "__cy")
+      .withColumn("__kx", floor(col("__cx") / band).cast("long"))
+      .localCheckpoint() // ranks + offsets both read it
+    val ranked = withC.withColumn("__rk", row_number().over(
+      Window.partitionBy(col("__kx")).orderBy(col("__cx"), col("__cy"))))
+    val offsets = withC.groupBy(col("__kx")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col("__kx")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__kx"), col("__off"))
+    ranked.join(offsets, Seq("__kx"))
+      .withColumn("id_pop", (col("__off") + col("__rk")).cast("int"))
+      .drop("__cx", "__cy", "__kx", "__rk", "__off")
   }
 
   /**

@@ -73,19 +73,18 @@ object RandomForest {
     require(lines.hasNext && lines.next() == "graft-forest v1", "bad model header")
     val features = Seq.newBuilder[String]
     val trees = Seq.newBuilder[Node]
-    var pending: String = null
-    def nextLine(): String =
-      if (pending != null) { val l = pending; pending = null; l } else lines.next()
+    // no lookahead needed: the preorder walk is self-delimiting (a Split
+    // consumes exactly its two subtrees), so plain sequential iteration works
     def readNode(): Node = {
-      val parts = nextLine().split(' ')
+      val parts = lines.next().split(' ')
       parts(0) match {
         case "S" => Split(parts(1).toInt, parts(2).toDouble, readNode(), readNode())
         case "L" => Leaf(parts(1).toDouble)
         case other => throw new IllegalArgumentException(s"bad model line: $other")
       }
     }
-    while (lines.hasNext || pending != null) {
-      val l = nextLine()
+    while (lines.hasNext) {
+      val l = lines.next()
       if (l.startsWith("feature ")) features += l.stripPrefix("feature ")
       else if (l == "tree") trees += readNode()
       else if (l.nonEmpty) throw new IllegalArgumentException(s"bad model line: $l")

@@ -188,8 +188,16 @@ object BdTopoV3 {
       .select(col("the_geom"), col("id"),
         activityType(col("categorie"), col("nature")).as("type"))
       .localCheckpoint() // urban areas + impervious both read it
+    // ST_EXPLODE (InputDataLoading.groovy:672-676): one row per single-part
+    // polygon of the clipped activity geometry, id_urban = the per-source-row
+    // 1-based part index (H2GIS EXPLOD_ID) — downstream formatting
+    // (removeOverlaps/withinToHoles) operates per row, so multi-part results
+    // must split here to keep row counts and per-part semantics aligned.
     val urbanAreas = activity.where(col("type") =!= "unknown")
-      .select(col("the_geom"), col("id").as("id_source"), col("type"))
+      .select(posexplode(G.stExplode(col("the_geom"))).as(Seq("__i", "the_geom")),
+        col("id").as("id_source"), col("type"))
+      .select(col("the_geom"), col("id_source"), col("type"),
+        (col("__i") + 1).cast("int").as("id_urban"))
 
     // 9. impervious (:681-707)
     def impPart(df: DataFrame, typeV: Column, pred: Column) =

@@ -59,18 +59,42 @@ object OsmTransform {
     whereFilter(tags).fold(tagTable)(tagTable.where(_))
       .select(idCol).distinct()
 
+  /** Cap on runtime-discovered pivot keys (no `columnsToKeep`): at planetary
+    * OSM scale the tag-key vocabulary is unbounded user input (~100k distinct
+    * keys) and every key becomes a MAX-pivot column, so unbounded discovery
+    * is a driver/codegen hazard. The documented scale path is an explicit
+    * `columnsToKeep`; without one, discovery keeps the top `maxKeys` keys by
+    * element frequency (ties broken alphabetically, then the kept set sorted
+    * for plan determinism) and logs the drop count. */
+  val DefaultMaxDiscoveredKeys = 1024
+
   /** Pivot the tags of the selected elements into columns. */
   private def pivotTags(tagTable: DataFrame, idCol: String, ids: DataFrame,
-                        columnsToKeep: Seq[String]): DataFrame = {
+                        columnsToKeep: Seq[String],
+                        maxKeys: Int = DefaultMaxDiscoveredKeys): DataFrame = {
     val selected = tagTable.join(ids, idCol)
     if (columnsToKeep.nonEmpty) {
       // inner tag join: elements with none of the kept keys drop out
       selected.where(col("tag_key").isInCollection(columnsToKeep))
         .groupBy(idCol).pivot("tag_key", columnsToKeep).agg(max("tag_value"))
     } else {
-      val keys = selected.select("tag_key").where(col("tag_key").isNotNull)
-        .distinct().collect().map(_.getString(0)).sorted.toSeq
-      selected.groupBy(idCol).pivot("tag_key", keys).agg(max("tag_value"))
+      // frequency census: #keys rows (bounded vocabulary), never the tags
+      val counted = selected.where(col("tag_key").isNotNull)
+        .groupBy("tag_key").agg(count(lit(1)).as("__n"))
+        .orderBy(desc("__n"), col("tag_key"))
+        .limit(maxKeys + 1) // +1 only to detect truncation without a count()
+        .collect()
+      val truncated = counted.length > maxKeys
+      if (truncated)
+        System.err.println(s"[graft] OsmTransform: discovered tag-key set " +
+          s"exceeds $maxKeys; keeping the $maxKeys most frequent keys " +
+          s"(pass columnsToKeep for the exact set)")
+      val keys = counted.take(maxKeys).map(_.getString(0)).sorted.toSeq
+      // only the capped path filters rows — the uncapped result is
+      // bit-identical to the historical unbounded discovery
+      val base = if (truncated)
+        selected.where(col("tag_key").isInCollection(keys)) else selected
+      base.groupBy(idCol).pivot("tag_key", keys).agg(max("tag_value"))
     }
   }
 
@@ -80,9 +104,10 @@ object OsmTransform {
   /** toPoints: tag-selected nodes as point geometries + pivoted tags. */
   def toPoints(t: OsmXml.Tables, tags: Seq[TagFilter] = Nil,
                columnsToKeep: Seq[String] = Nil,
-               bound: Option[Array[Byte]] = None): DataFrame = {
+               bound: Option[Array[Byte]] = None,
+               maxDiscoveredKeys: Int = DefaultMaxDiscoveredKeys): DataFrame = {
     val ids = selectIds(t.nodeTags, "node_id", tags)
-    val tagCols = pivotTags(t.nodeTags, "node_id", ids, columnsToKeep)
+    val tagCols = pivotTags(t.nodeTags, "node_id", ids, columnsToKeep, maxDiscoveredKeys)
     val pts = t.nodes.join(tagCols, "node_id")
       .withColumn("the_geom", G.stPoint(col("x"), col("y")))
       .drop("x", "y")
@@ -115,9 +140,10 @@ object OsmTransform {
     * linework), schema-aligned union with 'w'/'r' prefixed ids. */
   def toLines(t: OsmXml.Tables, tags: Seq[TagFilter] = Nil,
               columnsToKeep: Seq[String] = Nil,
-              bound: Option[Array[Byte]] = None): DataFrame = {
+              bound: Option[Array[Byte]] = None,
+              maxDiscoveredKeys: Int = DefaultMaxDiscoveredKeys): DataFrame = {
     val wayIds = selectIds(t.wayTags, "way_id", tags)
-    val wayTagCols = pivotTags(t.wayTags, "way_id", wayIds, columnsToKeep)
+    val wayTagCols = pivotTags(t.wayTags, "way_id", wayIds, columnsToKeep, maxDiscoveredKeys)
     val ways = OsmAssembly.assembleWays(t.wayNodes.join(wayIds, "way_id"), t.nodes)
       .where(G.stDimension(col("the_geom")) >= 1) // ≥ 2 nodes
       .select(col("way_id"), when(G.stDimension(col("the_geom")) === 2,
@@ -125,7 +151,7 @@ object OsmTransform {
       .join(wayTagCols, "way_id")
       .withColumn("id", concat(lit("w"), col("way_id"))).drop("way_id")
     val relIds = selectIds(t.relationTags, "id_relation", tags)
-    val relTagCols = pivotTags(t.relationTags, "id_relation", relIds, columnsToKeep)
+    val relTagCols = pivotTags(t.relationTags, "id_relation", relIds, columnsToKeep, maxDiscoveredKeys)
     val rels = relationLines(t, relIds)
       .join(relTagCols, "id_relation")
       .withColumn("id", concat(lit("r"), col("id_relation"))).drop("id_relation")
@@ -136,9 +162,10 @@ object OsmTransform {
     * relations, schema-aligned union with 'w'/'r' prefixed ids. */
   def toPolygons(t: OsmXml.Tables, tags: Seq[TagFilter] = Nil,
                  columnsToKeep: Seq[String] = Nil,
-                 bound: Option[Array[Byte]] = None): DataFrame = {
+                 bound: Option[Array[Byte]] = None,
+                 maxDiscoveredKeys: Int = DefaultMaxDiscoveredKeys): DataFrame = {
     val wayIds = selectIds(t.wayTags, "way_id", tags)
-    val wayTagCols = pivotTags(t.wayTags, "way_id", wayIds, columnsToKeep)
+    val wayTagCols = pivotTags(t.wayTags, "way_id", wayIds, columnsToKeep, maxDiscoveredKeys)
     val ways = OsmAssembly.assembleWays(t.wayNodes.join(wayIds, "way_id"), t.nodes)
       .where(G.stDimension(col("the_geom")) === 2) // closed rings only
       .select(col("way_id"), G.stBuffer(col("the_geom"), lit(0.0)).as("the_geom"))
@@ -146,7 +173,7 @@ object OsmTransform {
       .join(wayTagCols, "way_id")
       .withColumn("id", concat(lit("w"), col("way_id"))).drop("way_id")
     val relIds = selectIds(t.relationTags, "id_relation", tags)
-    val relTagCols = pivotTags(t.relationTags, "id_relation", relIds, columnsToKeep)
+    val relTagCols = pivotTags(t.relationTags, "id_relation", relIds, columnsToKeep, maxDiscoveredKeys)
     val rels = OsmAssembly.assembleRelations(
         t.relationTags.join(relIds, "id_relation"), t.relationMembers,
         t.wayNodes, t.nodes)

@@ -430,7 +430,18 @@ object WorkflowChain {
     val present = UtrfCorrespondence.filter(
       buildingUtrf.select("i_typo").distinct().collect()
         .map(_.getString(0)).toSet) // one census feeds BOTH aggregations
+    // No predicted typology at all (no buildings reach the classifier, or
+    // every prediction falls outside UtrfCorrespondence): the reference's
+    // aggregation degenerates to all-NULL characterization rows; without
+    // this guard `aggs.head` / the `total` reduce below would throw at
+    // plan-build time on the empty column list.
+    def emptyAggregation: DataFrame =
+      rsuIndics.select(col("id_rsu"), col("the_geom"),
+        lit(null).cast("double").as("uniqueness_value"),
+        lit(null).cast("string").as("typo_maj"),
+        lit(null).cast("string").as("typo_second"))
     def rsuAggregation(valueCol: String): DataFrame = {
+      if (present.isEmpty) return emptyAggregation
       val joined = buildingIndics
         .select(col("id_build"), col("id_rsu"), col(valueCol).as("__v"))
         .where(col("id_rsu").isNotNull)

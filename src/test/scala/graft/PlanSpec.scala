@@ -107,4 +107,33 @@ class PlanSpec extends SparkTestBase {
     val p = plan("blocks_cc")
     assert(!p.contains("Exchange SinglePartition"), p.take(3000))
   }
+
+  test("no data-scale global window in main source (id minting is keyed)") {
+    // Every `Window.orderBy` without a partitionBy funnels its input through
+    // ONE task. The allowlist below is the audited set of bounded sites:
+    // cumulative-offset windows over per-key count tables (#keys rows, the
+    // keyed dense-id pattern), a one-zone raster export, and a model-k rank.
+    // Any NEW unpartitioned window must either be keyed or justify itself
+    // here — this is the regression fence for the r4 formatPopulationTable
+    // finding (global Window.orderBy over the whole population table).
+    val allowed = Map(
+      "indicators/GridIndicators.scala" -> 1,   // formatGrid4Target: one zone's raster fid
+      "indicators/PopulationIndicators.scala" -> 1, // offsets over #x-bands rows
+      "operators/Similarity.scala" -> 1,        // k rows, bounded by model size
+      "operators/SpatialUnits.scala" -> 2,      // offsets over #zones rows (x2)
+      "sources/OsmLayers.scala" -> 1)           // offsets over #zones rows
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val hits = scala.collection.mutable.Map.empty[String, Int]
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        // count CALL lines only (scaladoc prose mentioning the pattern is fine)
+        val calls = src.linesIterator.count(l =>
+          l.contains("Window.orderBy(") && !l.trim.startsWith("*") && !l.trim.startsWith("//"))
+        if (calls > 0) hits(root.relativize(p).toString) = calls
+      }
+    }
+    assert(hits.toMap == allowed,
+      s"unaudited global windows: ${hits.toMap} vs allowlist $allowed")
+  }
 }

@@ -176,6 +176,30 @@ class WorkflowChainSpec extends SparkTestBase {
     assert(Lake.currentVersion(root, "rsu_indicators_full") == 1) // no recompute
   }
 
+  test("typology aggregation degenerates to all-NULL rows when no prediction maps") {
+    import spark.implicits._
+    import graft.ml.RandomForest
+    import graft.workflow.WorkflowChain
+    // a one-leaf forest always predicts class 0; typoNames maps it OUTSIDE
+    // UtrfCorrespondence — `present` is empty and the aggregation must yield
+    // the reference's all-NULL shape instead of throwing on aggs.head
+    val forest = RandomForest.Forest(Seq("f"), Seq(RandomForest.Leaf(0.0)))
+    val gathered = Seq((1L, 1, 2.0)).toDF("id_build", "id_rsu", "f")
+    val bIndics = Seq((1L, 1, 10.0, 20.0)).toDF("id_build", "id_rsu", "area", "floor_area")
+    val rsu = Seq(1, 2).toDF("id_rsu")
+      .withColumn("the_geom", G.stMakeBox(lit(0.0), lit(0.0), lit(1.0), lit(1.0)))
+    val (bu, rArea, rFloor) = WorkflowChain.computeTypologyIndicators(
+      gathered, bIndics, rsu, forest, Seq("not_a_utrf_class"))
+    assert(bu.count() == 1)
+    for (out <- Seq(rArea, rFloor)) {
+      val rows = out.orderBy("id_rsu").collect()
+      assert(rows.length == 2)
+      assert(out.columns.toSeq ==
+        Seq("id_rsu", "the_geom", "uniqueness_value", "typo_maj", "typo_second"))
+      assert(rows.forall(r => r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4)))
+    }
+  }
+
   test("chain is deterministic across runs") {
     val (tsu1, _, rel1, agg1) = runChain()
     val (tsu2, _, rel2, agg2) = runChain()

@@ -30,6 +30,16 @@ class GridIndicatorsSpec extends SparkTestBase {
     assert(m.head.getInt(2) == 107) // weight 0 beats weight 5 at equal count
   }
 
+  test("lodMode: unmapped class falls back to its own value (no ANSI throw)") {
+    // the reference's ELSE LCZ_PRIMARY (GridIndicators.groovy:206): a class
+    // outside the weight map must pass through as its own weight, not crash
+    // the lookup — under Spark 4 ANSI mode a plain element_at map miss THROWS
+    val g = Seq((1L, 1L, 999), (1L, 2L, 999), (1L, 3L, 1)).toDF("id_row", "id_col", "lcz")
+    val out = GridIndicators.lodMode(g, "lcz", GridIndicators.ReferenceLczWeights, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out((0L, 0L)) == 999) // count 2 beats count 1; no exception raised
+  }
+
   test("neighborStats: 8-neighborhood counts and sums") {
     val out = GridIndicators.neighborStats(cells, "lcz")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap

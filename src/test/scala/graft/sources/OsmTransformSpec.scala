@@ -72,4 +72,23 @@ class OsmTransformSpec extends SparkTestBase {
       Seq(OsmTransform.TagFilter(Seq("amenity"))),
       columnsToKeep = Seq("amenity"), bound = Some(far)).count() == 0)
   }
+
+  test("capped tag-key discovery keeps the top-N most frequent keys") {
+    // way 1 carries building+height, way 2 highway+name: frequency census is
+    // building=1, height=1, highway=1, name=1 — cap 2 keeps the 2 first by
+    // (count DESC, key ASC) = building, height
+    val out = OsmTransform.toLines(tables, maxDiscoveredKeys = 2)
+    assert(out.columns.toSet.intersect(
+      Set("building", "height", "highway", "name")) == Set("building", "height"))
+    // way 2 (highway-only) drops out on the capped path (inner semantics,
+    // same contract as columnsToKeep); way 1 is closed so toLines keeps its
+    // ring line. The RELATION pivot censuses its own key set (type, landuse
+    // — 2 keys, under the cap, no truncation) so r9 survives untouched.
+    val ids = out.select("id").collect().map(_.getString(0)).toSet
+    assert(ids == Set("w1", "r9"))
+    // an uncapped run over the same scene keeps every discovered key
+    val full = OsmTransform.toLines(tables)
+    assert(Set("building", "height", "highway", "name")
+      .subsetOf(full.columns.toSet))
+  }
 }
