@@ -215,6 +215,47 @@ object Queries4 {
         .orderBy("id_grid")
     }),
 
+    // -- offline zone resolution (extractOSMZone bbox branch,
+    //    WorkflowOSM.groovy:719-775): 20 synthetic bboxes (10 northern, 10
+    //    southern, all UTM zone 31) -> extended envelope (spherical-arc
+    //    expansion), SRID pick, and corner-reprojected zone / extended-bbox
+    //    quads read back from the RESULT tables. Envelope degrees round 6
+    //    (libm cos in the longitude delta), UTM meters round 3. ----------
+    "zone_extract" -> ((s, dir) => {
+      import s.implicits._
+      import graft.workflow.ZoneExtract
+      val ks = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 20).select(col("doc_id").cast("int"))
+        .collect().map(_.getInt(0)).sorted.toSeq
+      val rows = ks.map { k =>
+        val (south, west) =
+          if (k < 10) (43.0 + k * 0.37, 0.7 + k * 0.41)
+          else (-34.0 - (k - 10) * 0.29, 1.1 + (k - 10) * 0.33)
+        val z = ZoneExtract.extractOSMZone(s,
+          (south, west, south + 0.06, west + 0.07), 150.0 + k * 25)
+        def corners(df: DataFrame) = {
+          val q = graft.geom.Geo.fromWkb(df.head.getAs[Array[Byte]]("the_geom"))
+          val cs = q.getCoordinates // ring order: SW, SE, NE, NW, SW
+          (cs(0).x, cs(0).y, cs(2).x, cs(2).y)
+        }
+        val (zswE, zswN, zneE, zneN) = corners(z.utmZoneTable)
+        val (bswE, bswN, bneE, bneN) = corners(z.utmExtendedBboxTable)
+        val e = z.osmEnvelopeExtended
+        (k, z.utmSrid, e.minLon, e.minLat, e.maxLon, e.maxLat,
+          zswE, zswN, zneE, zneN, bswE, bswN, bneE, bneN)
+      }
+      rows.toDF("k", "srid", "eminlon", "eminlat", "emaxlon", "emaxlat",
+          "zsw_e", "zsw_n", "zne_e", "zne_n", "bsw_e", "bsw_n", "bne_e", "bne_n")
+        .select(col("k"), col("srid"),
+          round(col("eminlon"), 6).as("eminlon"), round(col("eminlat"), 6).as("eminlat"),
+          round(col("emaxlon"), 6).as("emaxlon"), round(col("emaxlat"), 6).as("emaxlat"),
+          round(col("zsw_e"), 3).as("zsw_e"), round(col("zsw_n"), 3).as("zsw_n"),
+          round(col("zne_e"), 3).as("zne_e"), round(col("zne_n"), 3).as("zne_n"),
+          round(col("bsw_e"), 3).as("bsw_e"), round(col("bsw_n"), 3).as("bsw_n"),
+          round(col("bne_e"), 3).as("bne_e"), round(col("bne_n"), 3).as("bne_n"))
+        .orderBy("k")
+    }),
+
     // -- ST_TRANSFORM lon/lat -> UTM (WorkflowGeoIndicators.groovy:2283;
     //    Karney-Krueger 6th-order series, zone 31 north). Oracle replicates
     //    the series with exp/ln hyperbolics; libm 1-ulp differences are
@@ -548,6 +589,53 @@ object Queries4 {
         |  round(outdist, 3) AS urban_sprawl_outdist,
         |  round(cooldist, 3) AS urban_sprawl_cool_indist
         |FROM d ORDER BY id_grid""".stripMargin,
+
+    // the same Karney CTE machinery as geo_utm_transform, over the 4 corner
+    // points of each bbox; the spherical-arc expansion constant M is the
+    // engine's Scala-computed double emitted as an exact literal; southern
+    // rows add the 10^7 false northing (bit-exact: IEEE + is commutative)
+    "zone_extract" -> {
+      val ctes = graft.geom.Projection.utmForwardSqlCtes("src", zone = 31)
+      val m = f"CAST(${graft.workflow.ZoneExtract.MetersPerDegree}%.17g AS DOUBLE)"
+      s"""WITH d AS (SELECT CAST(doc_id AS INT) AS k FROM documents WHERE doc_id < 20),
+        |p AS (SELECT k,
+        |    CASE WHEN k < 10 THEN 43.0 + k * 0.37 ELSE -34.0 - (k - 10) * 0.29 END AS south,
+        |    CASE WHEN k < 10 THEN 0.7 + k * 0.41 ELSE 1.1 + (k - 10) * 0.33 END AS west,
+        |    150.0 + k * 25 AS dist
+        |  FROM d),
+        |p2 AS (SELECT *, south + 0.06 AS north, west + 0.07 AS east FROM p),
+        |e AS (SELECT *, dist / $m AS dlat,
+        |    dist / ($m * cos(radians((south + north) / 2))) AS dlon FROM p2),
+        |ext AS (SELECT *, west - dlon AS elon0, south - dlat AS elat0,
+        |    east + dlon AS elon1, north + dlat AS elat1 FROM e),
+        |src AS (
+        |  SELECT k, 'zsw' AS pt, west AS lon, south AS lat FROM ext
+        |  UNION ALL SELECT k, 'zne', east, north FROM ext
+        |  UNION ALL SELECT k, 'bsw', elon0, elat0 FROM ext
+        |  UNION ALL SELECT k, 'bne', elon1, elat1 FROM ext),
+        |$ctes,
+        |t AS (SELECT k, pt, easting,
+        |    northing + CASE WHEN lat < 0 THEN 10000000.0 ELSE 0.0 END AS northing
+        |  FROM utm),
+        |f AS (SELECT k,
+        |    MAX(CASE WHEN pt = 'zsw' THEN easting END) AS zsw_e,
+        |    MAX(CASE WHEN pt = 'zsw' THEN northing END) AS zsw_n,
+        |    MAX(CASE WHEN pt = 'zne' THEN easting END) AS zne_e,
+        |    MAX(CASE WHEN pt = 'zne' THEN northing END) AS zne_n,
+        |    MAX(CASE WHEN pt = 'bsw' THEN easting END) AS bsw_e,
+        |    MAX(CASE WHEN pt = 'bsw' THEN northing END) AS bsw_n,
+        |    MAX(CASE WHEN pt = 'bne' THEN easting END) AS bne_e,
+        |    MAX(CASE WHEN pt = 'bne' THEN northing END) AS bne_n
+        |  FROM t GROUP BY k)
+        |SELECT ext.k, CAST(CASE WHEN ext.k < 10 THEN 32631 ELSE 32731 END AS INT) AS srid,
+        |  round(ext.elon0, 6) AS eminlon, round(ext.elat0, 6) AS eminlat,
+        |  round(ext.elon1, 6) AS emaxlon, round(ext.elat1, 6) AS emaxlat,
+        |  round(f.zsw_e, 3) AS zsw_e, round(f.zsw_n, 3) AS zsw_n,
+        |  round(f.zne_e, 3) AS zne_e, round(f.zne_n, 3) AS zne_n,
+        |  round(f.bsw_e, 3) AS bsw_e, round(f.bsw_n, 3) AS bsw_n,
+        |  round(f.bne_e, 3) AS bne_e, round(f.bne_n, 3) AS bne_n
+        |FROM ext JOIN f USING (k) ORDER BY ext.k""".stripMargin
+    },
 
     "geo_utm_transform" -> {
       val ctes = graft.geom.Projection.utmForwardSqlCtes("src", zone = 31)

@@ -431,6 +431,102 @@ object Queries5 {
         .orderBy("doc_id")
     }),
 
+    // -- RF model persistence through the driver gate: same training scene
+    //    as rf_train_apply, but both forests make a save -> load round trip
+    //    (ml/RandomForest.scala text format; thresholds as exact-round-trip
+    //    Double.toString) before applying — predictions must be
+    //    bit-identical, so the oracle is the same generating rule. --------
+    "rf_persist_apply" -> ((s, dir) => {
+      val trainGrid = s.range(0, 1024).select(
+        (col("id") % 16 + 1).cast("double").as("x1"),
+        (floor(col("id") / 16) % 8 + 1).cast("double").as("x2"),
+        (floor(col("id") / 128) + 1).cast("double").as("x3"),
+        when(col("id") % 16 + 1 > 8, 2)
+          .when(floor(col("id") / 16) % 8 + 1 > 4, 1).otherwise(0).as("y"),
+        ((col("id") % 16 + 1) * 10 +
+          when(floor(col("id") / 16) % 8 + 1 > 4, 5).otherwise(0)).cast("double").as("yr"))
+      val cls0 = graft.ml.RandomForestTrainer.train(trainGrid, Seq("x1", "x2", "x3"), "y",
+        numTrees = 3, maxDepth = 4, numClasses = 3)
+      val reg0 = graft.ml.RandomForestTrainer.train(trainGrid, Seq("x1", "x2"), "yr",
+        numTrees = 1, maxDepth = 6, numClasses = 0)
+      def roundTrip(f: graft.ml.RandomForest.Forest): graft.ml.RandomForest.Forest = {
+        val p = java.nio.file.Files.createTempFile("graft_rf", ".model")
+        try {
+          graft.ml.RandomForest.save(f, p.toString)
+          graft.ml.RandomForest.load(p.toString)
+        } finally java.nio.file.Files.delete(p)
+      }
+      val cls = roundTrip(cls0)
+      val reg = roundTrip(reg0)
+      val d = col("doc_id")
+      val eval = s.read.parquet(s"$dir/documents.parquet").select(d.as("doc_id"),
+        (d % 16 + 1).cast("double").as("x1"),
+        (d % 8 + 1).cast("double").as("x2"),
+        (d % 5 + 1).cast("double").as("x3"))
+      val feats = Map("x1" -> col("x1"), "x2" -> col("x2"), "x3" -> col("x3"))
+      val votes = graft.ml.RandomForest.classifyVoteColumns(cls, feats, 3)
+      eval.select(col("doc_id"),
+          graft.ml.RandomForest.argmaxColumn(votes, Seq("0", "1", "2")).cast("int").as("pred_class"),
+          graft.ml.RandomForest.regressColumn(reg, feats).as("pred_value"))
+        .orderBy("doc_id")
+    }),
+
+    // -- shapefile round trip through the driver gate: write synthetic
+    //    point/line/polygon layers with the from-scratch .shp/.dbf WRITER
+    //    (Shapefile.write), read them back through the reader the BDTopo
+    //    path uses (Shapefile.read), and emit exact integer-coordinate
+    //    measures + dbf attributes — the oracle recomputes the generating
+    //    arithmetic (doubles ride the file as raw IEEE bits, shoelace areas
+    //    on integer coords are exact) -----------------------------------
+    "shp_roundtrip" -> ((s, dir) => {
+      val d = col("doc_id")
+      val docs = s.read.parquet(s"$dir/documents.parquet").where(d < 40)
+        .select(d.cast("int").as("doc_id")).localCheckpoint()
+      val pts = docs.select(
+        G.stPoint(d.cast("double") * 3 + 0.5, d.cast("double") * 1.5).as("the_geom"),
+        d.as("id"), concat(lit("p"), d).as("name"))
+      val x0 = d.cast("double") * 10
+      val lw = (d % 4 + 1).cast("double"); val lh = (d % 3 + 1).cast("double")
+      val lines = docs.select(
+        G.stGeomFromWkt(format_string("LINESTRING(%s 0, %s 0, %s %s)",
+          x0, x0 + lw, x0 + lw, lh)).as("the_geom"),
+        d.as("id"), concat(lit("l"), d).as("name"))
+      val pw = (d % 4 + 2).cast("double"); val ph = (d % 3 + 2).cast("double")
+      val shell = format_string("(%s 0, %s 0, %s %s, %s %s, %s 0)",
+        x0, x0 + pw, x0 + pw, ph, x0, ph, x0)
+      val hole = format_string(", (%s 1, %s 2, %s 2, %s 1, %s 1)",
+        x0 + 1, x0 + 1, x0 + 2, x0 + 2, x0 + 1)
+      val polys = docs.select(
+        G.stGeomFromWkt(concat(lit("POLYGON("), shell,
+          when(d % 2 === 0, hole).otherwise(""), lit(")"))).as("the_geom"),
+        d.as("id"), concat(lit("g"), d).as("name"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_shp")
+      def roundTrip(layer: DataFrame, kind: String): DataFrame = {
+        val p = s"$tmp/$kind.shp"
+        graft.sources.Shapefile.write(layer, "the_geom", p)
+        val back = graft.sources.Shapefile.read(s, p)
+        val measure = kind match {
+          case "point" => G.stX(col("the_geom"))
+          case "line" => G.stLength(col("the_geom"))
+          case _ => G.stArea(col("the_geom"))
+        }
+        back.select(lit(kind).as("kind"),
+            graft.sources.Shapefile.attr("id").cast("int").as("id"),
+            measure.as("measure"),
+            G.stHolesArea(col("the_geom")).as("holes_area"),
+            graft.sources.Shapefile.attr("name").as("name"))
+          .localCheckpoint() // materialize before the temp files are deleted
+      }
+      val out = roundTrip(pts, "point")
+        .unionByName(roundTrip(lines, "line"))
+        .unionByName(roundTrip(polys, "poly"))
+        .orderBy("kind", "id")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+      out
+    }),
+
     // -- asc raster sink byte-golden: write the ESRI ASCII grid, hash the
     //    bytes; the oracle rebuilds the EXACT text (values are k/8 — exact
     //    at 3 decimals, so HALF_UP and printf agree) ----------------------
@@ -633,6 +729,30 @@ object Queries5 {
         |  CAST((doc_id % 16 + 1) * 10 +
         |    (CASE WHEN doc_id % 8 + 1 > 4 THEN 5 ELSE 0 END) AS DOUBLE) AS pred_value
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // persisted-model application is bit-identical to the fresh model:
+    // the oracle is rf_train_apply's generating rule, unchanged
+    "rf_persist_apply" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 16 + 1 > 8 THEN 2
+        |    WHEN doc_id % 8 + 1 > 4 THEN 1 ELSE 0 END AS INT) AS pred_class,
+        |  CAST((doc_id % 16 + 1) * 10 +
+        |    (CASE WHEN doc_id % 8 + 1 > 4 THEN 5 ELSE 0 END) AS DOUBLE) AS pred_value
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the round trip is lossless (raw IEEE doubles in .shp, trimmed strings
+    // in .dbf), so the oracle recomputes the generating arithmetic directly
+    "shp_roundtrip" ->
+      """WITH d AS (SELECT CAST(doc_id AS INT) AS id FROM documents WHERE doc_id < 40)
+        |SELECT 'point' AS kind, id, CAST(id * 3 + 0.5 AS DOUBLE) AS measure,
+        |  0.0 AS holes_area, 'p' || id AS name FROM d
+        |UNION ALL
+        |SELECT 'line', id, CAST(id % 4 + 1 + id % 3 + 1 AS DOUBLE), 0.0, 'l' || id FROM d
+        |UNION ALL
+        |SELECT 'poly', id,
+        |  CAST((id % 4 + 2) * (id % 3 + 2) - CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END AS DOUBLE),
+        |  CAST(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END AS DOUBLE), 'g' || id FROM d
+        |ORDER BY kind, id""".stripMargin,
 
     // byte-exact replica of Tiling.writeAsc: header, then rows top-down,
     // each value 3-decimal fixed + one trailing space, newline per row

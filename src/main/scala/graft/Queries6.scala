@@ -633,6 +633,43 @@ object Queries6 {
         .orderBy("id_grid")
     }),
 
+    // -- the WorkflowOSM grid tail composed in ONE config-gated run
+    //    (WorkflowOSM.groovy:624-646): rasterizeIndicators computes
+    //    LCZ_PRIMARY from the RSU LCZ layer, the lcz_lod=1 config pushes it
+    //    through multiscaleLczGrid INSIDE the dispatch, and sprawlIndicators
+    //    chains on the rasterized output — the LCZ_PRIMARY -> sprawl
+    //    default-interaction path. rsuLcz polygons ARE the fixture cells, so
+    //    the characterized lcz_primary equals the fixture class and the
+    //    sprawl layer matches the hand-derived closing (distance 15). ------
+    "grid_lcz_sprawl_dispatch" -> ((s, dir) => {
+      val cells = sprawlGrid(s).select("id_grid", "id_row", "id_col", "the_geom", "id_zone")
+      val rsuLcz = sprawlGrid(s).select(col("the_geom"), col("lcz_primary"))
+      val layers = WorkflowRunner.Layers(
+        zone = s.range(1).select(lit(1).as("id_zone"),
+          G.stMakeBox(lit(0.0), lit(0.0), lit(400.0), lit(100.0)).as("the_geom")),
+        building = s.range(0).select(col("id").as("id_build"),
+          G.stMakeBox(lit(0.0), lit(0.0), lit(1.0), lit(1.0)).as("the_geom")))
+      val empty = s.range(0).select(col("id").cast("int").as("id_rsu"),
+        G.stMakeBox(lit(0.0), lit(0.0), lit(1.0), lit(1.0)).as("the_geom"))
+      val results = WorkflowRunner.Results(empty, empty, empty, empty, empty,
+        empty, None, Some(cells))
+      val g = WorkflowConfig.GridParams(xSize = 10, ySize = 10, output = "asc",
+        rowCol = None, indicators = Seq("LCZ_PRIMARY", "URBAN_SPRAWL_AREAS",
+          "URBAN_SPRAWL_DISTANCES", "URBAN_SPRAWL_COOL_DISTANCES"),
+        domain = None, lczLod = Some(1), urbanSprawlAreas = Some(true))
+      val rast = WorkflowRunner.rasterizeIndicators(layers, results, g,
+        grid, Res, Some(rsuLcz), None, None).get
+      val (gi, _, _) = WorkflowRunner.sprawlIndicators(s, rast, g.indicators,
+        15.0, grid, Res)
+      gi.select(col("id_grid"), col("lcz_primary"),
+          col("lcz_primary_lod_1"),
+          col("lcz_warm_lod_1").cast("long").as("lcz_warm_lod_1"),
+          round(col("urban_sprawl_indist"), 3).as("urban_sprawl_indist"),
+          round(col("urban_sprawl_outdist"), 3).as("urban_sprawl_outdist"),
+          round(col("urban_sprawl_cool_indist"), 3).as("urban_sprawl_cool_indist"))
+        .orderBy("id_grid")
+    }),
+
     // -- exact free facade density + aspect ratio + street width + building
     //    surface density + area-weighted height stats on the grid
     //    (:1989-2085), all through the config-gated dispatch ---------------
@@ -1233,6 +1270,61 @@ object Queries6 {
         |JOIN l1 ON l1.lr = (b.id_row - 1) // 3 AND l1.lc = (b.id_col - 1) // 3
         |JOIN l2m ON l2m.lr = (b.id_row - 1) // 9 AND l2m.lc = (b.id_col - 1) // 9
         |JOIN l2w ON l2w.lr = (b.id_row - 1) // 9 AND l2w.lc = (b.id_col - 1) // 9
+        |ORDER BY b.id_grid""".stripMargin,
+
+    // composed dispatch: lcz_primary = the fixture class (each cell's rsuLcz
+    // rectangle IS the cell, fraction 1), LOD-1 columns = the multiscale
+    // replica's level-1 CTEs, distances = the sprawl analytic replica
+    "grid_lcz_sprawl_dispatch" ->
+      """WITH c AS (SELECT CAST(range AS BIGINT) AS id_grid,
+        |    CAST(range % 40 + 1 AS INTEGER) AS id_col,
+        |    CAST(range // 40 + 1 AS INTEGER) AS id_row,
+        |    CAST(range % 40 AS DOUBLE)*10 + 5 AS cx, CAST(range // 40 AS DOUBLE)*10 + 5 AS cy
+        |  FROM range(0, 400)),
+        |g AS (SELECT *, CASE WHEN
+        |    (id_col BETWEEN 1 AND 9 AND id_row BETWEEN 2 AND 7
+        |      AND NOT (id_col BETWEEN 3 AND 5 AND id_row BETWEEN 4 AND 6))
+        |    OR (id_col BETWEEN 11 AND 19 AND id_row BETWEEN 2 AND 7)
+        |    OR (id_col BETWEEN 25 AND 29 AND id_row BETWEEN 3 AND 7)
+        |  THEN 1 ELSE 101 END AS lcz FROM c),
+        |l1c AS (SELECT (id_row - 1) // 3 AS lr, (id_col - 1) // 3 AS lc, lcz,
+        |    count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        |l1m AS (SELECT lr, lc, lcz AS lcz1 FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY lr, lc ORDER BY cnt DESC,
+        |      CASE lcz WHEN 105 THEN 11 WHEN 107 THEN 12 WHEN 106 THEN 13
+        |        WHEN 101 THEN 14 WHEN 102 THEN 15 WHEN 103 THEN 16
+        |        WHEN 104 THEN 16 ELSE lcz END, lcz) AS rn
+        |    FROM l1c) WHERE rn = 1),
+        |l1w AS (SELECT (id_row - 1) // 3 AS lr, (id_col - 1) // 3 AS lc,
+        |    CAST(sum(CASE WHEN lcz BETWEEN 1 AND 10 OR lcz = 105 THEN 1 ELSE 0 END) AS BIGINT) AS w1
+        |  FROM g GROUP BY 1, 2),
+        |d AS (SELECT id_grid,
+        |  CASE WHEN cx > 0 AND cx < 190 AND cy > 10 AND cy < 70
+        |       THEN least(cx - 0, 190 - cx, cy - 10, 70 - cy)
+        |       WHEN cx > 240 AND cx < 290 AND cy > 20 AND cy < 70
+        |       THEN least(cx - 240, 290 - cx, cy - 20, 70 - cy) END AS indist,
+        |  CASE WHEN cx > 0 AND cx < 290 AND cy > 10 AND cy < 70
+        |        AND NOT (cx > 0 AND cx < 190 AND cy > 10 AND cy < 70)
+        |        AND NOT (cx > 240 AND cx < 290 AND cy > 20 AND cy < 70)
+        |       THEN least(cx - 0, 290 - cx, cy - 10, 70 - cy,
+        |         sqrt(power(greatest(0 - cx, cx - 190, 0), 2) + power(greatest(10 - cy, cy - 70, 0), 2)),
+        |         sqrt(power(greatest(240 - cx, cx - 290, 0), 2) + power(greatest(20 - cy, cy - 70, 0), 2)))
+        |       END AS outdist,
+        |  CASE WHEN cx > 0 AND cx < 190 AND cy > 10 AND cy < 70
+        |        AND NOT (cx > 20 AND cx < 50 AND cy > 30 AND cy < 60)
+        |       THEN least(cx - 0, 190 - cx, cy - 10, 70 - cy,
+        |         sqrt(power(greatest(20 - cx, cx - 50, 0), 2) + power(greatest(30 - cy, cy - 60, 0), 2)))
+        |       END AS cooldist
+        |  FROM g)
+        |SELECT b.id_grid, b.lcz AS lcz_primary, l1m.lcz1 AS lcz_primary_lod_1,
+        |  l1w.w1 AS lcz_warm_lod_1,
+        |  round(d.indist, 3) AS urban_sprawl_indist,
+        |  round(d.outdist, 3) AS urban_sprawl_outdist,
+        |  round(d.cooldist, 3) AS urban_sprawl_cool_indist
+        |FROM g b
+        |JOIN l1m ON l1m.lr = (b.id_row - 1) // 3 AND l1m.lc = (b.id_col - 1) // 3
+        |JOIN l1w ON l1w.lr = (b.id_row - 1) // 3 AND l1w.lc = (b.id_col - 1) // 3
+        |JOIN d USING (id_grid)
         |ORDER BY b.id_grid""".stripMargin,
 
     // same analytic replica as sprawl_distances (Queries4) — the composed

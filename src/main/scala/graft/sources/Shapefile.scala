@@ -107,6 +107,143 @@ object Shapefile {
     if (all.length == 1) all(0) else Geo.factory.createMultiPolygon(all)
   }
 
+  // ---- writer ------------------------------------------------------------
+
+  /**
+   * Write a layer as .shp/.shx/.dbf (the ESRI triplet the reader consumes;
+   * reference counterpart: H2GIS's SHPDriverFunction used by the BDTopo
+   * save paths). Shape type is derived from the first geometry (Point=1,
+   * PolyLine=3, Polygon=5); polygon rings follow the ESRI rule (shells CW,
+   * holes CCW). Attributes: StringType → 'C' (width = max byte length),
+   * integral types → 'N' width 18. The shapefile format itself is a
+   * single-stream container with a 2 GiB hard limit and 32-bit record
+   * numbers — a BOUNDED per-layer export (same class as writeAsc), so the
+   * layer is collected on the driver; scale lives in writing many layer
+   * files in parallel, not inside one file.
+   *
+   * @param path the .shp path; .shx/.dbf are written as siblings
+   */
+  def write(df: DataFrame, geomCol: String, path: String): Unit = {
+    val attrs = df.schema.fields.filterNot(_.name == geomCol)
+    val rows = df.select((col(geomCol) +: attrs.map(f => col(f.name))): _*).collect()
+    val geoms = rows.map(r => Option(r.getAs[Array[Byte]](0)).map(Geo.fromWkb).orNull)
+    val present = geoms.filter(_ != null)
+    require(present.nonEmpty, "cannot derive a shape type from an empty layer")
+    val shapeType = present.head match {
+      case _: org.locationtech.jts.geom.Point => 1
+      case _: org.locationtech.jts.geom.LineString
+         | _: org.locationtech.jts.geom.MultiLineString => 3
+      case _: org.locationtech.jts.geom.Polygon
+         | _: org.locationtech.jts.geom.MultiPolygon => 5
+      case g => throw new IllegalArgumentException(s"unsupported geometry ${g.getGeometryType}")
+    }
+
+    // per-record geometry content (without the 8-byte record header)
+    def le(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    def ringsOf(g: Geometry): Seq[Array[Coordinate]] = g match {
+      case p: org.locationtech.jts.geom.Polygon =>
+        val shell = p.getExteriorRing.getCoordinates
+        val cw = if (Orientation.isCCW(p.getExteriorRing.getCoordinateSequence)) shell.reverse else shell
+        val holes = (0 until p.getNumInteriorRing).map { i =>
+          val h = p.getInteriorRingN(i)
+          if (Orientation.isCCW(h.getCoordinateSequence)) h.getCoordinates else h.getCoordinates.reverse
+        }
+        cw +: holes
+      case l: org.locationtech.jts.geom.LineString => Seq(l.getCoordinates)
+      case m => (0 until m.getNumGeometries).flatMap(i => ringsOf(m.getGeometryN(i)))
+    }
+    def content(g: Geometry): Array[Byte] = g match {
+      case null => le(4).putInt(0).array() // null shape keeps attr alignment
+      case p: org.locationtech.jts.geom.Point =>
+        le(20).putInt(1).putDouble(p.getX).putDouble(p.getY).array()
+      case g2 =>
+        val parts = ringsOf(g2)
+        val nPts = parts.map(_.length).sum
+        val env = g2.getEnvelopeInternal
+        val b = le(44 + 4 * parts.length + 16 * nPts)
+        b.putInt(shapeType)
+        b.putDouble(env.getMinX).putDouble(env.getMinY)
+        b.putDouble(env.getMaxX).putDouble(env.getMaxY)
+        b.putInt(parts.length).putInt(nPts)
+        parts.scanLeft(0)(_ + _.length).dropRight(1).foreach(i => b.putInt(i))
+        parts.foreach(_.foreach(c => b.putDouble(c.x).putDouble(c.y)))
+        b.array()
+    }
+    val contents = geoms.map(content)
+    val shpLen = 100 + contents.map(8 + _.length).sum
+    val shp = ByteBuffer.allocate(shpLen)
+    val shx = ByteBuffer.allocate(100 + 8 * contents.length)
+    def header(buf: ByteBuffer, fileLen: Int): Unit = {
+      buf.order(ByteOrder.BIG_ENDIAN).putInt(9994)
+      (0 until 5).foreach(_ => buf.putInt(0))
+      buf.putInt(fileLen / 2).order(ByteOrder.LITTLE_ENDIAN).putInt(1000).putInt(shapeType)
+      val e = new org.locationtech.jts.geom.Envelope()
+      present.foreach(g => e.expandToInclude(g.getEnvelopeInternal))
+      buf.putDouble(e.getMinX).putDouble(e.getMinY).putDouble(e.getMaxX).putDouble(e.getMaxY)
+      buf.putDouble(0).putDouble(0).putDouble(0).putDouble(0) // Z/M ranges
+    }
+    header(shp, shpLen); header(shx, shx.capacity())
+    var off = 100
+    contents.zipWithIndex.foreach { case (c, i) =>
+      shx.order(ByteOrder.BIG_ENDIAN).putInt(off / 2).putInt(c.length / 2)
+      shp.order(ByteOrder.BIG_ENDIAN).putInt(i + 1).putInt(c.length / 2)
+      shp.put(c)
+      off += 8 + c.length
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), shp.array())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path.replaceAll("(?i)\\.shp$", ".shx")), shx.array())
+
+    // ---- .dbf: dBASE III header + fixed-width records ---------------------
+    import org.apache.spark.sql.types._
+    def fieldBytes(v: Any, tpe: DataType, len: Int): Array[Byte] = {
+      val s = v match {
+        case null => ""
+        case x => x.toString
+      }
+      val raw = s.getBytes("ISO-8859-1").take(len)
+      val out = Array.fill[Byte](len)(' ')
+      tpe match {
+        case _: NumericType => // right-justified
+          System.arraycopy(raw, 0, out, len - raw.length, raw.length)
+        case _ => System.arraycopy(raw, 0, out, 0, raw.length)
+      }
+      out
+    }
+    val widths = attrs.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case _: NumericType => 18
+        case _ => math.max(1, rows.iterator.map(r =>
+          Option(r.get(i + 1)).map(_.toString.getBytes("ISO-8859-1").length).getOrElse(0)).max)
+      }
+    }
+    val recordSize = 1 + widths.sum
+    val headerSize = 32 + 32 * attrs.length + 1
+    val dbf = ByteBuffer.allocate(headerSize + rows.length * recordSize + 1)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    dbf.put(0x03.toByte).put(95.toByte).put(7.toByte).put(26.toByte) // fixed date: deterministic bytes
+    dbf.putInt(rows.length).putShort(headerSize.toShort).putShort(recordSize.toShort)
+    dbf.position(32)
+    attrs.zip(widths).foreach { case (f, w) =>
+      val name = f.name.getBytes("ISO-8859-1").take(10)
+      val d = Array.fill[Byte](32)(0)
+      System.arraycopy(name, 0, d, 0, name.length)
+      d(11) = f.dataType match { case _: NumericType => 'N'; case _ => 'C' }
+      d(16) = w.toByte
+      dbf.put(d)
+    }
+    dbf.put(0x0D.toByte)
+    rows.foreach { r =>
+      dbf.put(' '.toByte) // not deleted
+      attrs.zip(widths).zipWithIndex.foreach { case ((f, w), i) =>
+        dbf.put(fieldBytes(r.get(i + 1), f.dataType, w))
+      }
+    }
+    dbf.put(0x1A.toByte)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path.replaceAll("(?i)\\.shp$", ".dbf")), dbf.array())
+  }
+
   // ---- .dbf attribute records ---------------------------------------------
 
   private[sources] def parseDbf(b: Array[Byte]): Seq[Map[String, String]] = {

@@ -31,6 +31,59 @@ class ShapefileSpec extends SparkTestBase {
     assert(Shapefile.read(spark, base + "ZONE_VEGETATION.shp").count() == 2325) // Polygon
   }
 
+  test("writer round trip: real BDTopo buildings survive write -> read bit-exactly") {
+    // write the reference sample's first 500 buildings with the from-scratch
+    // writer, read them back: areas and attributes must match row for row
+    val bati = Shapefile.read(spark, base + "BATI_INDIFFERENCIE.shp")
+      .limit(500)
+      .select(col("the_geom"), Shapefile.attr("id").as("id"),
+        Shapefile.attr("hauteur").cast("int").as("hauteur"))
+      .localCheckpoint()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shpw")
+    val p = s"$tmp/bati.shp"
+    Shapefile.write(bati, "the_geom", p)
+    val back = Shapefile.read(spark, p)
+      .select(Shapefile.attr("id").as("id"),
+        Shapefile.attr("hauteur").cast("int").as("hauteur"),
+        G.stArea(col("the_geom")).as("area"),
+        G.stNumGeometries(col("the_geom")).as("np"))
+      .localCheckpoint()
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    assert(back.count() == 500)
+    val orig = bati.select(col("id"), col("hauteur"),
+      G.stArea(col("the_geom")).as("area"), G.stNumGeometries(col("the_geom")).as("np"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2), r.getInt(3))).toMap
+    val rt = back.collect().map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2), r.getInt(3))).toMap
+    assert(rt == orig) // bit-exact: raw IEEE doubles ride the file unchanged
+  }
+
+  test("writer round trip: points and polylines") {
+    import spark.implicits._
+    val pts = Seq((1, "a", 0.5, 1.25), (2, "bb", -3.0, 7.5))
+      .toDF("k", "s", "x", "y")
+      .select(G.stPoint(col("x"), col("y")).as("the_geom"), col("k"), col("s"))
+    val lines = Seq((1, "LINESTRING(0 0, 3 4)"), (2, "LINESTRING(1 1, 1 5, 4 5)"))
+      .toDF("k", "wkt")
+      .select(G.stGeomFromWkt(col("wkt")).as("the_geom"), col("k"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shpw2")
+    Shapefile.write(pts, "the_geom", s"$tmp/p.shp")
+    Shapefile.write(lines, "the_geom", s"$tmp/l.shp")
+    val pBack = Shapefile.read(spark, s"$tmp/p.shp")
+      .select(Shapefile.attr("k").cast("int"), Shapefile.attr("s"),
+        G.stX(col("the_geom")), G.stY(col("the_geom")))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(pBack == Set((1, "a", 0.5, 1.25), (2, "bb", -3.0, 7.5)))
+    val lBack = Shapefile.read(spark, s"$tmp/l.shp")
+      .select(Shapefile.attr("k").cast("int"), G.stLength(col("the_geom")))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(lBack == Set((1, 5.0), (2, 7.0)))
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+  }
+
   test("hand-built polygon-with-hole record follows the CW-shell/CCW-hole rule") {
     // shell [0,10]² clockwise, hole [2,4]² counter-clockwise
     val shell = Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0))

@@ -85,4 +85,16 @@ class WorkflowConfigSpec extends AnyFunSuite {
       """{"road_traffic": true, "noise_indicators": {"ground_acoustic": true}}""")
     assert(p.roadTraffic && p.noiseGroundAcoustic)
   }
+
+  test("input.locations bbox parsing (the offline zone-resolution entry)") {
+    val (bboxes, area) = ZoneExtract.parseInput(
+      """{"input": {"locations": [[43.2, 2.1, 43.26, 2.18]], "area": 2000}}""")
+    assert(bboxes == Seq((43.2, 2.1, 43.26, 2.18)) && area == 2000.0)
+    // default area when absent; string locations rejected offline
+    assert(ZoneExtract.parseInput(
+      """{"input": {"locations": [[1.0, 2.0, 1.1, 2.1]]}}""")._2 == 1000.0)
+    intercept[IllegalArgumentException] {
+      ZoneExtract.parseInput("""{"input": {"locations": ["Paris"]}}""")
+    }
+  }
 }
