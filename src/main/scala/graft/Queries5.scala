@@ -22,6 +22,35 @@ object Queries5 {
   private val grid = graft.index.CellGrid.fixture
   private val Res = 8
 
+  // ---- shared RF training scene (rf_train_apply + rf_persist_apply) -------
+  // Training is deterministic (integer split statistics, keyed mtry draws),
+  // so the two queries share one trained pair per session; entries of
+  // stopped sessions are evicted lazily (same pattern as Queries6.e2eCache).
+  private val forestCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (graft.ml.RandomForest.Forest, graft.ml.RandomForest.Forest)]()
+
+  private def trainedForests(s: SparkSession): (graft.ml.RandomForest.Forest, graft.ml.RandomForest.Forest) = {
+    forestCache.keySet.removeIf(_.sparkContext.isStopped)
+    forestCache.computeIfAbsent(s, { _ =>
+      val trainGrid = s.range(0, 1024).select(
+        (col("id") % 16 + 1).cast("double").as("x1"),
+        (floor(col("id") / 16) % 8 + 1).cast("double").as("x2"),
+        (floor(col("id") / 128) + 1).cast("double").as("x3"), // noise feature
+        when(col("id") % 16 + 1 > 8, 2)
+          .when(floor(col("id") / 16) % 8 + 1 > 4, 1).otherwise(0).as("y"),
+        // 32 distinct piecewise-constant values: depth 6 isolates them, and
+        // the compiled tree stays under the 64KB codegen method limit (a
+        // depth-8/128-leaf tree falls back to interpreted evaluation)
+        ((col("id") % 16 + 1) * 10 +
+          when(floor(col("id") / 16) % 8 + 1 > 4, 5).otherwise(0)).cast("double").as("yr"))
+      val cls = graft.ml.RandomForestTrainer.train(trainGrid, Seq("x1", "x2", "x3"), "y",
+        numTrees = 3, maxDepth = 4, numClasses = 3)
+      val reg = graft.ml.RandomForestTrainer.train(trainGrid, Seq("x1", "x2"), "yr",
+        numTrees = 1, maxDepth = 6, numClasses = 0)
+      (cls, reg)
+    })
+  }
+
   // ---- SQL emitters for the first-match-wins rule tables ------------------
 
   private def sq(s: String) = "'" + s.replace("'", "''") + "'"
@@ -403,21 +432,7 @@ object Queries5 {
     //    predictions on in-region points must equal the generating rule,
     //    which is what the oracle evaluates. -----------------------------
     "rf_train_apply" -> ((s, dir) => {
-      val trainGrid = s.range(0, 1024).select(
-        (col("id") % 16 + 1).cast("double").as("x1"),
-        (floor(col("id") / 16) % 8 + 1).cast("double").as("x2"),
-        (floor(col("id") / 128) + 1).cast("double").as("x3"), // noise feature
-        when(col("id") % 16 + 1 > 8, 2)
-          .when(floor(col("id") / 16) % 8 + 1 > 4, 1).otherwise(0).as("y"),
-        // 32 distinct piecewise-constant values: depth 6 isolates them, and
-        // the compiled tree stays under the 64KB codegen method limit (a
-        // depth-8/128-leaf tree falls back to interpreted evaluation)
-        ((col("id") % 16 + 1) * 10 +
-          when(floor(col("id") / 16) % 8 + 1 > 4, 5).otherwise(0)).cast("double").as("yr"))
-      val cls = graft.ml.RandomForestTrainer.train(trainGrid, Seq("x1", "x2", "x3"), "y",
-        numTrees = 3, maxDepth = 4, numClasses = 3)
-      val reg = graft.ml.RandomForestTrainer.train(trainGrid, Seq("x1", "x2"), "yr",
-        numTrees = 1, maxDepth = 6, numClasses = 0)
+      val (cls, reg) = trainedForests(s)
       val d = col("doc_id")
       val eval = s.read.parquet(s"$dir/documents.parquet").select(d.as("doc_id"),
         (d % 16 + 1).cast("double").as("x1"),
@@ -432,23 +447,14 @@ object Queries5 {
     }),
 
     // -- RF model persistence through the driver gate: same training scene
-    //    as rf_train_apply, but both forests make a save -> load round trip
-    //    (ml/RandomForest.scala text format; thresholds as exact-round-trip
-    //    Double.toString) before applying — predictions must be
-    //    bit-identical, so the oracle is the same generating rule. --------
+    //    as rf_train_apply (forests shared via trainedForests — training is
+    //    deterministic, so memoization cannot change results), but both
+    //    forests make a save -> load round trip (ml/RandomForest.scala text
+    //    format; thresholds as exact-round-trip Double.toString) before
+    //    applying — predictions must be bit-identical, so the oracle is the
+    //    same generating rule. ------------------------------------------
     "rf_persist_apply" -> ((s, dir) => {
-      val trainGrid = s.range(0, 1024).select(
-        (col("id") % 16 + 1).cast("double").as("x1"),
-        (floor(col("id") / 16) % 8 + 1).cast("double").as("x2"),
-        (floor(col("id") / 128) + 1).cast("double").as("x3"),
-        when(col("id") % 16 + 1 > 8, 2)
-          .when(floor(col("id") / 16) % 8 + 1 > 4, 1).otherwise(0).as("y"),
-        ((col("id") % 16 + 1) * 10 +
-          when(floor(col("id") / 16) % 8 + 1 > 4, 5).otherwise(0)).cast("double").as("yr"))
-      val cls0 = graft.ml.RandomForestTrainer.train(trainGrid, Seq("x1", "x2", "x3"), "y",
-        numTrees = 3, maxDepth = 4, numClasses = 3)
-      val reg0 = graft.ml.RandomForestTrainer.train(trainGrid, Seq("x1", "x2"), "yr",
-        numTrees = 1, maxDepth = 6, numClasses = 0)
+      val (cls0, reg0) = trainedForests(s)
       def roundTrip(f: graft.ml.RandomForest.Forest): graft.ml.RandomForest.Forest = {
         val p = java.nio.file.Files.createTempFile("graft_rf", ".model")
         try {

@@ -210,11 +210,14 @@ object Shapefile {
       }
       out
     }
+    // width = widest rendered value (numeric too — a 19-digit long would
+    // silently truncate at the classic fixed 18)
     val widths = attrs.zipWithIndex.map { case (f, i) =>
+      val w = math.max(1, rows.iterator.map(r =>
+        Option(r.get(i + 1)).map(_.toString.getBytes("ISO-8859-1").length).getOrElse(0)).max)
       f.dataType match {
-        case _: NumericType => 18
-        case _ => math.max(1, rows.iterator.map(r =>
-          Option(r.get(i + 1)).map(_.toString.getBytes("ISO-8859-1").length).getOrElse(0)).max)
+        case _: NumericType => math.max(w, 1)
+        case _ => w
       }
     }
     val recordSize = 1 + widths.sum

@@ -104,9 +104,11 @@ object ZoneExtract {
   }
 
   /** The `input.locations` / `input.area` block of the workflow config
-    * (WorkflowOSM.groovy:64-68): each 4-number location is a bbox for
-    * [[extractOSMZone]]; string locations (Nominatim names) are rejected
-    * offline. Returns (bboxes, bbox_size km²). */
+    * (WorkflowOSM.groovy:64-68): each 4-number location is a bbox, each
+    * 3-number one a point + distance (osmtools `geometryFromValues` /
+    * `createBBox`: [lat, lon, d] → the envelope d meters around the point,
+    * d > 100 required) — both resolvable offline; string locations
+    * (Nominatim names) are rejected. Returns (bboxes, bbox_size km²). */
   def parseInput(json: String): (Seq[(Double, Double, Double, Double)], Double) = {
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     val input = root.path("input")
@@ -114,10 +116,17 @@ object ZoneExtract {
     val area = if (input.path("area").isNumber) input.get("area").asDouble else 1000.0
     import scala.jdk.CollectionConverters._
     val locs = input.path("locations").elements().asScala.map { loc =>
-      require(loc.isArray && loc.size == 4,
-        "only bbox locations ([south, west, north, east]) are resolvable offline")
+      require(loc.isArray && (loc.size == 4 || loc.size == 3),
+        "only bbox ([south, west, north, east]) or point+distance " +
+          "([lat, lon, meters]) locations are resolvable offline")
       val v = loc.elements().asScala.map(_.asDouble).toSeq
-      (v(0), v(1), v(2), v(3))
+      if (loc.size == 4) (v(0), v(1), v(2), v(3))
+      else {
+        require(v(2) >= 100,
+          "the distance to create a bbox from a point must be greater than 100 meters")
+        val e = expandEnvelopeByMeters(Env(v(1), v(0), v(1), v(0)), v(2))
+        (e.minLat, e.minLon, e.maxLat, e.maxLon)
+      }
     }.toSeq
     (locs, area)
   }

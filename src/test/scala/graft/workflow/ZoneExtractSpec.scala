@@ -22,6 +22,15 @@ class ZoneExtractSpec extends SparkTestBase {
     assert(e.minLon < 2.1 && e.maxLon > 2.18 && e.minLat < 43.2 && e.maxLat > 43.26)
     // southern hemisphere picks the 327xx family
     assert(ZoneExtract.extractOSMZone(spark, (-34.1, 2.0, -34.0, 2.1), 100.0).utmSrid == 32731)
+    // point + distance locations resolve to the envelope around the point
+    val (pb, _) = ZoneExtract.parseInput(
+      """{"input": {"locations": [[43.2, 2.1, 500]]}}""")
+    val (s0, w0, n0, e0) = pb.head
+    assert(s0 < 43.2 && n0 > 43.2 && w0 < 2.1 && e0 > 2.1)
+    assert(math.abs((n0 - s0) * ZoneExtract.MetersPerDegree - 1000.0) < 1e-6)
+    intercept[IllegalArgumentException] {
+      ZoneExtract.parseInput("""{"input": {"locations": [[43.2, 2.1, 99]]}}""")
+    }
     // the size guard throws for a bbox over the km2 limit
     intercept[IllegalArgumentException] {
       ZoneExtract.extractOSMZone(spark, (43.0, 2.0, 44.0, 3.5),
