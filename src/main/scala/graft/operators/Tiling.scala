@@ -33,6 +33,22 @@ object Tiling {
         lit(x0) + col("id_col") * lit(dx),       lit(y0) + col("id_row") * lit(dy)))
   }
 
+  /** Grid by CELL COUNTS (the reference createGrid `rowCol=true` mode,
+    * WorkflowOSM.groovy:606-615 / WorkflowGeoIndicators:2272-2288): exactly
+    * `nCols` × `nRows` cells tiling the envelope; cell size = extent/count. */
+  def makeGridByCount(spark: SparkSession, x0: Double, y0: Double,
+                      x1: Double, y1: Double, nCols: Long, nRows: Long): DataFrame = {
+    require(nCols > 0 && nRows > 0, "grid counts must be positive")
+    val dx = (x1 - x0) / nCols
+    val dy = (y1 - y0) / nRows
+    spark.range(nCols * nRows).toDF("id_grid")
+      .withColumn("id_col", (col("id_grid") % nCols).cast("int") + 1)
+      .withColumn("id_row", (col("id_grid") / nCols).cast("int") + 1)
+      .withColumn("the_geom", G.stMakeBox(
+        lit(x0) + (col("id_col") - 1) * lit(dx), lit(y0) + (col("id_row") - 1) * lit(dy),
+        lit(x0) + col("id_col") * lit(dx),       lit(y0) + col("id_row") * lit(dy)))
+  }
+
   /** Tile coordinates of a point — pure Catalyst (codegen'd; the hot path for
     * the pages table). 1-based like the reference grid. */
   def tileCol(x: Column, x0: Double, dx: Double): Column =

@@ -44,7 +44,8 @@ object WorkflowRunner {
 
   def run(spark: SparkSession, params: WorkflowConfig.Params, layers: Layers,
           grid: CellGrid, res: Int, zoneId: Int = 1,
-          lakeRoot: Option[String] = None): Results = {
+          lakeRoot: Option[String] = None,
+          extendedZone: Option[DataFrame] = None): Results = {
     def staged(name: String)(f: => DataFrame): DataFrame =
       lakeRoot.fold(f)(root => Lake.stage(spark, root, name)(f))
 
@@ -86,16 +87,27 @@ object WorkflowRunner {
       else None
     val gridDf = params.gridIndicators.map { g =>
       staged("grid") {
-        // grid over the zone envelope, cells g.xSize × g.ySize (reference
-        // rasterizeIndicators creates the grid the same way, :2272-2288)
-        val env = layers.zone
+        // Grid domain + mode (WorkflowOSM.groovy:596-615): the envelope
+        // comes from the zone or, when `domain: zone_extended` and an
+        // extended-bbox table is supplied (ZoneExtract), from that table;
+        // `rowCol: true` interprets x/y_size as CELL COUNTS (createGrid
+        // rowCol mode), otherwise they are cell sizes in meters (the
+        // reference's ceil(extent/size) conversion is what makeGrid does).
+        val domainLayer =
+          if (g.domain.contains("zone_extended")) extendedZone.getOrElse(layers.zone)
+          else layers.zone
+        val env = domainLayer
           .agg(min(graft.geom.GeoFunctions.stXMin(col("the_geom"))).as("x0"),
             min(graft.geom.GeoFunctions.stYMin(col("the_geom"))).as("y0"),
             max(graft.geom.GeoFunctions.stXMax(col("the_geom"))).as("x1"),
             max(graft.geom.GeoFunctions.stYMax(col("the_geom"))).as("y1"))
           .head()
-        Tiling.makeGrid(spark, env.getDouble(0), env.getDouble(1),
-          env.getDouble(2), env.getDouble(3), g.xSize.toDouble, g.ySize.toDouble)
+        if (g.rowCol.contains(true))
+          Tiling.makeGridByCount(spark, env.getDouble(0), env.getDouble(1),
+            env.getDouble(2), env.getDouble(3), g.xSize.toLong, g.ySize.toLong)
+        else
+          Tiling.makeGrid(spark, env.getDouble(0), env.getDouble(1),
+            env.getDouble(2), env.getDouble(3), g.xSize.toDouble, g.ySize.toDouble)
       }
     }
     Results(mesh, tsu, blocks, rel, bInd, rsuStats, traffic, gridDf)

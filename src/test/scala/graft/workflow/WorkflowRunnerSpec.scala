@@ -108,6 +108,33 @@ class WorkflowRunnerSpec extends SparkTestBase {
     assert(rastLod.count() == res.grid.get.count())
   }
 
+  test("grid domain + rowCol modes (WorkflowOSM.groovy:596-615)") {
+    // rowCol=true: x/y_size are CELL COUNTS over the domain envelope
+    val pCount = WorkflowConfig.parse(
+      """{"rsu_indicators": {"surface_vegetation": 2500, "surface_hydro": 2500},
+        |"grid_indicators": {"x_size": 4, "y_size": 3, "rowCol": true,
+        |  "indicators": ["LAND_TYPE_FRACTION"]}}""".stripMargin)
+    val g1 = WorkflowRunner.run(spark, pCount, layers, grid, 10).grid.get
+    assert(g1.count() == 12) // exactly 4 x 3 cells, regardless of extent
+    val widths = g1.select(
+      (G.stXMax(col("the_geom")) - G.stXMin(col("the_geom"))).as("w")).distinct().collect()
+    assert(widths.length == 1 && widths.head.getDouble(0) == 200.0 / 4) // extent/count
+    // domain=zone_extended + an extended table: envelope comes from it
+    val pExt = WorkflowConfig.parse(
+      """{"rsu_indicators": {"surface_vegetation": 2500, "surface_hydro": 2500},
+        |"grid_indicators": {"x_size": 100, "y_size": 100, "domain": "zone_extended",
+        |  "indicators": ["LAND_TYPE_FRACTION"]}}""".stripMargin)
+    val ext = spark.range(1).select(lit(1).as("id_zone"),
+      G.stMakeBox(lit(-120.0), lit(-120.0), lit(280.0), lit(170.0)).as("the_geom"))
+    val g2 = WorkflowRunner.run(spark, pExt, layers, grid, 10,
+      extendedZone = Some(ext)).grid.get
+    assert(g2.agg(min(G.stXMin(col("the_geom")))).head().getDouble(0) == -120.0)
+    assert(g2.count() == 4 * 3) // ceil(400/100) x ceil(290/100)
+    // without an extended table the domain falls back to the zone envelope
+    val g3 = WorkflowRunner.run(spark, pExt, layers, grid, 10).grid.get
+    assert(g3.agg(min(G.stXMin(col("the_geom")))).head().getDouble(0) == -20.0)
+  }
+
   test("lake root makes the chain resumable: second run reads committed stages") {
     val root = Files.createTempDirectory("wf-lake").toString
     val p = WorkflowConfig.parse(
