@@ -85,7 +85,7 @@ class PlanSpec extends SparkTestBase {
 
   test("grid rasterize queries are equi-join shaped (no cartesian/nested-loop)") {
     for (q <- Seq("grid_land_fraction", "grid_roughness", "grid_facade_street",
-        "grid_height_distribution")) {
+        "grid_height_distribution", "grid_lcz_sprawl_dispatch")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), q)
       assert(!p.contains("BroadcastNestedLoopJoin"), q)
