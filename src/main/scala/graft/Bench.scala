@@ -228,8 +228,12 @@ object Bench {
         while (!accepted && ws.length < 5)
           ws += window(32) { fn(s32, sfDir).count() }
         val b = best
-        val regressed = hb.exists(h => b.sec > h * 2.0)
         val noisy = ws.forall(_.steal > stealMaxQ)
+        // a query whose EVERY window was steal-noisy has no trustworthy time
+        // — it is flagged `noisy`, not `regressed` (observed: a mid-loop
+        // noise storm pushed text_fingerprint past 2x history while every
+        // window carried >3% steal; that is contention, not a regression)
+        val regressed = !noisy && hb.exists(h => b.sec > h * 2.0)
         (name, b.sec, b.cpuFrac, None: Option[String], noisy, regressed)
       } catch {
         case e: Throwable =>
