@@ -234,7 +234,7 @@ object Queries4 {
         val z = ZoneExtract.extractOSMZone(s,
           (south, west, south + 0.06, west + 0.07), 150.0 + k * 25)
         def corners(df: DataFrame) = {
-          val q = graft.geom.Geo.fromWkb(df.head.getAs[Array[Byte]]("the_geom"))
+          val q = graft.geom.Geo.fromWkb(df.head().getAs[Array[Byte]]("the_geom"))
           val cs = q.getCoordinates // ring order: SW, SE, NE, NW, SW
           (cs(0).x, cs(0).y, cs(2).x, cs(2).y)
         }

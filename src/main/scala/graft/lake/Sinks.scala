@@ -77,7 +77,7 @@ object Sinks {
   def writeGeoJson(df: DataFrame, geomCol: String, path: String): Unit = {
     val props = df.schema.fieldNames.filterNot(_ == geomCol)
     val features = df.select(
-        (col(geomCol) +: props.map(col)): _*)
+        (col(geomCol) +: props.toSeq.map(col)): _*)
       .mapPartitions { it: Iterator[Row] =>
         it.map { r =>
           val g = Geo.fromWkb(r.getAs[Array[Byte]](0))

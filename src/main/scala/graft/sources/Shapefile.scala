@@ -125,7 +125,7 @@ object Shapefile {
    */
   def write(df: DataFrame, geomCol: String, path: String): Unit = {
     val attrs = df.schema.fields.filterNot(_.name == geomCol)
-    val rows = df.select((col(geomCol) +: attrs.map(f => col(f.name))): _*).collect()
+    val rows = df.select((col(geomCol) +: attrs.toSeq.map(f => col(f.name))): _*).collect()
     val geoms = rows.map(r => Option(r.getAs[Array[Byte]](0)).map(Geo.fromWkb).orNull)
     val present = geoms.filter(_ != null)
     require(present.nonEmpty, "cannot derive a shape type from an empty layer")
