@@ -158,20 +158,22 @@ object Bench {
 
   private val histPath = java.nio.file.Paths.get("bench_history.json")
 
-  private def loadHistory(sf: String): Map[String, Double] =
+  private[graft] def loadHistory(sf: String,
+                                 path: java.nio.file.Path = histPath): Map[String, Double] =
     try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(java.nio.file.Files.readAllBytes(histPath))
+        .readTree(java.nio.file.Files.readAllBytes(path))
       val node = root.path(sf)
       import scala.jdk.CollectionConverters._
       node.fieldNames().asScala.map(k => k -> node.get(k).asDouble).toMap
     } catch { case _: Throwable => Map.empty }
 
-  private def saveHistory(sf: String, merged: Map[String, Double]): Unit =
+  private[graft] def saveHistory(sf: String, merged: Map[String, Double],
+                                 path: java.nio.file.Path = histPath): Unit =
     try {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val root: com.fasterxml.jackson.databind.node.ObjectNode =
-        try mapper.readTree(java.nio.file.Files.readAllBytes(histPath))
+        try mapper.readTree(java.nio.file.Files.readAllBytes(path))
           .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
         catch { case _: Throwable => mapper.createObjectNode() }
       val sfNode = mapper.createObjectNode()
@@ -179,7 +181,7 @@ object Bench {
         sfNode.put(k, BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
       root.set(sf, sfNode)
-      java.nio.file.Files.write(histPath,
+      java.nio.file.Files.write(path,
         mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     } catch { case _: Throwable => () } // history is advisory; never fail the bench
 
