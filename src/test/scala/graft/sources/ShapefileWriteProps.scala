@@ -49,6 +49,35 @@ class ShapefileWriteProps extends SparkTestBase {
     }
   }
 
+  test("dbf attributes round-trip (random strings + longs, per-column widths)") {
+    // reader contract: values come back TRIMMED and empty strings drop out
+    // of the attrs map — generate printable Latin-1 strings without
+    // leading/trailing blanks and non-degenerate numbers
+    val cell = Gen.nonEmptyListOf(Gen.choose(33.toChar, 126.toChar))
+      .map(_.mkString.take(40))
+    val rowGen = for { s <- cell; n <- Gen.choose(-1000000000000L, 1000000000000L) }
+      yield (s, n)
+    val p = Prop.forAll(Gen.nonEmptyListOf(rowGen).map(_.take(20))) { rows =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dbf_prop")
+      try {
+        import spark.implicits._
+        val df = rows.zipWithIndex.map { case ((s, n), i) =>
+          (Geo.toWkb(Geo.point(i, i)), s, n) }.toDF("the_geom", "s", "n")
+        Shapefile.write(df, "the_geom", s"$tmp/a.shp")
+        val back = Shapefile.read(spark, s"$tmp/a.shp")
+          .select(Shapefile.attr("s"), Shapefile.attr("n").cast("long"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+        back == rows.sorted
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("polygon layers round-trip topologically equal (random rect unions)") {
     val p = Prop.forAll(Gen.nonEmptyListOf(polyGen).map(_.take(4))) { gs0 =>
       val gs = gs0.filter(g => !g.isEmpty && g.getArea > 0)
