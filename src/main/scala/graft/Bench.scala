@@ -195,7 +195,7 @@ object Bench {
       // otherwise penalizes the FAST side's short runs and deflates the ratio)
       val (r8a, r2) = scalingPair(2, 8, scaleRows * 2, reps = 4)
       val (r32, r8b) = scalingPair(8, 32, scaleRows, reps = 3)
-      println(f"""{"rows":$scaleRows,"n2":${r2._1}%.0f,"n8a":${r8a._1}%.0f,"eff_2_8":${(r8a._1 / r2._1) / 4.0}%.3f,""" +
+      emit(f"""{"rows":$scaleRows,"n2":${r2._1}%.0f,"n8a":${r8a._1}%.0f,"eff_2_8":${(r8a._1 / r2._1) / 4.0}%.3f,""" +
         f""""n8b":${r8b._1}%.0f,"n32":${r32._1}%.0f,"eff_8_32":${(r32._1 / r8b._1) / 4.0}%.3f,""" +
         f""""steal":[${r2._2}%.4f,${r8a._2}%.4f,${r8b._2}%.4f,${r32._2}%.4f],""" +
         f""""cpu_frac":[${r2._3}%.3f,${r8a._3}%.3f,${r8b._3}%.3f,${r32._3}%.3f]}""")
@@ -279,10 +279,21 @@ object Bench {
       f""""efficiency":$eff28%.3f}"""
     val errJson = if (errors.isEmpty) "" else errors.mkString(""","errors":{""", ",", "}")
     val noisyJson = if (noisyQueries.isEmpty) "" else noisyQueries.mkString(""","noisy_queries":[""", ",", "]")
-    println(s"""{"metric":"spatial_join_tile_assign_rows_per_sec","value":${f"${r32._1}%.0f"},""" +
+    emit(s"""{"metric":"spatial_join_tile_assign_rows_per_sec","value":${f"${r32._1}%.0f"},""" +
       s""""unit":"rows/sec","queries":$qs,"cpu_frac":$cf,"sf":"$sfDir",""" +
       f""""total_query_sec":$total%.3f,""" +
       s""""regressed_queries":[${regressedQueries.mkString(",")}],""" +
       s""""scaling":$scaling$errJson$noisyJson}""")
+  }
+
+  /** The graded artifact's one JSON line goes to stdout AND to
+    * `bench_out.json`: sbt's `[success]` banner follows the stdout line and
+    * log-tail truncation has twice left the wrapper's parsed field null —
+    * the sibling file is machine-readable regardless of log handling. */
+  private def emit(json: String): Unit = {
+    println(json)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // the stdout line remains authoritative
   }
 }

@@ -113,31 +113,45 @@ object Shapefile {
    * Write a layer as .shp/.shx/.dbf (the ESRI triplet the reader consumes;
    * reference counterpart: H2GIS's SHPDriverFunction used by the BDTopo
    * save paths). Shape type is derived from the first geometry (Point=1,
-   * PolyLine=3, Polygon=5); polygon rings follow the ESRI rule (shells CW,
-   * holes CCW). Attributes: StringType → 'C' (width = max byte length),
-   * integral types → 'N' width 18. The shapefile format itself is a
-   * single-stream container with a 2 GiB hard limit and 32-bit record
-   * numbers — a BOUNDED per-layer export (same class as writeAsc), so the
-   * layer is collected on the driver; scale lives in writing many layer
-   * files in parallel, not inside one file.
+   * PolyLine=3, Polygon=5) and every other geometry must map to the SAME
+   * type (a mixed-family layer would silently emit records inconsistent
+   * with the declared type — validated and thrown instead); polygon rings
+   * follow the ESRI rule (shells CW, holes CCW). Attributes: StringType →
+   * 'C' (width = max byte length, dBASE 'C' cap 254), numeric types → 'N'
+   * with the decimal-count descriptor byte set to the widest rendered
+   * fraction (strict DBF readers treat decimal-count-0 'N' as integer).
+   *
+   * The shapefile format is a single-stream container with a 2 GiB hard
+   * limit and 32-bit record numbers — a BOUNDED per-layer export; scale
+   * lives in writing many layer files in parallel, not inside one file.
+   * Driver MEMORY is bounded tighter than the format bound: the layer is
+   * never collected — pass 1 streams rows (`toLocalIterator`) to size the
+   * headers (count, widths, envelope, total content length), pass 2
+   * streams again writing the three files record by record, so the driver
+   * holds one partition's rows at a time.
    *
    * @param path the .shp path; .shx/.dbf are written as siblings
    */
   def write(df: DataFrame, geomCol: String, path: String): Unit = {
     val attrs = df.schema.fields.filterNot(_.name == geomCol)
-    val rows = df.select((col(geomCol) +: attrs.toSeq.map(f => col(f.name))): _*).collect()
-    val geoms = rows.map(r => Option(r.getAs[Array[Byte]](0)).map(Geo.fromWkb).orNull)
-    val present = geoms.filter(_ != null)
-    require(present.nonEmpty, "cannot derive a shape type from an empty layer")
-    val shapeType = present.head match {
-      case _: org.locationtech.jts.geom.Point => 1
-      case _: org.locationtech.jts.geom.LineString
-         | _: org.locationtech.jts.geom.MultiLineString => 3
-      case _: org.locationtech.jts.geom.Polygon
-         | _: org.locationtech.jts.geom.MultiPolygon => 5
-      case g => throw new IllegalArgumentException(s"unsupported geometry ${g.getGeometryType}")
-    }
+    val proj = df.select((col(geomCol) +: attrs.toSeq.map(f => col(f.name))): _*)
+      .persist() // both streaming passes must see the SAME materialized rows
+    try writeStreaming(proj, attrs, path)
+    finally proj.unpersist()
+  }
 
+  private def shapeTypeOf(g: Geometry): Int = g match {
+    case _: org.locationtech.jts.geom.Point => 1
+    case _: org.locationtech.jts.geom.LineString
+       | _: org.locationtech.jts.geom.MultiLineString => 3
+    case _: org.locationtech.jts.geom.Polygon
+       | _: org.locationtech.jts.geom.MultiPolygon => 5
+    case g => throw new IllegalArgumentException(s"unsupported geometry ${g.getGeometryType}")
+  }
+
+  private def writeStreaming(proj: DataFrame,
+                             attrs: Array[org.apache.spark.sql.types.StructField],
+                             path: String): Unit = {
     // per-record geometry content (without the 8-byte record header)
     def le(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
     def ringsOf(g: Geometry): Seq[Array[Coordinate]] = g match {
@@ -152,99 +166,146 @@ object Shapefile {
       case l: org.locationtech.jts.geom.LineString => Seq(l.getCoordinates)
       case m => (0 until m.getNumGeometries).flatMap(i => ringsOf(m.getGeometryN(i)))
     }
+    def contentLen(g: Geometry): Long = g match {
+      case null => 4L // null shape keeps attr alignment
+      case _: org.locationtech.jts.geom.Point => 20L
+      case g2 =>
+        val parts = ringsOf(g2)
+        44L + 4L * parts.length + 16L * parts.map(_.length.toLong).sum
+    }
+    // narrow import: spark.sql.types also exposes a `Geometry` (Spark 4.1 ST
+    // types) that would shadow the JTS Geometry under a wildcard
+    import org.apache.spark.sql.types.NumericType
+    def render(v: Any): String = if (v == null) "" else v.toString
+
+    // ---- pass 1: stream the rows once to size every header ----------------
+    //      (record count, shape type + family validation, layer envelope,
+    //       total geometry content bytes, per-field widths + decimal counts)
+    var n = 0L
+    var totalContent = 0L
+    var shapeType = 0 // 0 = not yet derived
+    val env = new org.locationtech.jts.geom.Envelope()
+    val widths = Array.fill(attrs.length)(1)
+    val fracs = Array.fill(attrs.length)(0)
+    val isNum = attrs.map(_.dataType match { case _: NumericType => true; case _ => false })
+    val it1 = proj.toLocalIterator()
+    while (it1.hasNext) {
+      val r = it1.next()
+      val g = Option(r.getAs[Array[Byte]](0)).map(Geo.fromWkb).orNull
+      if (g != null) {
+        val t = shapeTypeOf(g)
+        if (shapeType == 0) shapeType = t
+        else require(t == shapeType,
+          s"mixed geometry families in one layer: shape type $t after $shapeType " +
+            s"(record ${n + 1}, ${g.getGeometryType}) — a shapefile holds ONE family")
+        env.expandToInclude(g.getEnvelopeInternal)
+      }
+      totalContent += contentLen(g)
+      var i = 0
+      while (i < attrs.length) {
+        val s = render(r.get(i + 1))
+        val b = s.getBytes("ISO-8859-1").length
+        if (b > widths(i)) widths(i) = b
+        if (isNum(i)) { // widest rendered fraction -> dbf decimal-count byte
+          val dot = s.lastIndexOf('.')
+          if (dot >= 0 && s.length - dot - 1 > fracs(i)) fracs(i) = s.length - dot - 1
+        }
+        i += 1
+      }
+      n += 1
+    }
+    require(shapeType != 0, "cannot derive a shape type from an empty layer")
+    attrs.zip(widths).foreach { case (f, w) =>
+      require(w <= 254, // dBASE descriptor length is ONE byte ('C' caps at 254);
+        // a wider value would wrap the byte and misalign every later field
+        s"dbf field '${f.name}' needs width $w > 254 — not representable in dBASE III")
+    }
+    val shpLen = 100L + 8L * n + totalContent
+    require(shpLen <= Int.MaxValue,
+      s"layer exceeds the shapefile 2 GiB container limit ($shpLen bytes) — split into multiple files")
+
     def content(g: Geometry): Array[Byte] = g match {
-      case null => le(4).putInt(0).array() // null shape keeps attr alignment
+      case null => le(4).putInt(0).array()
       case p: org.locationtech.jts.geom.Point =>
         le(20).putInt(1).putDouble(p.getX).putDouble(p.getY).array()
       case g2 =>
         val parts = ringsOf(g2)
         val nPts = parts.map(_.length).sum
-        val env = g2.getEnvelopeInternal
+        val e = g2.getEnvelopeInternal
         val b = le(44 + 4 * parts.length + 16 * nPts)
         b.putInt(shapeType)
-        b.putDouble(env.getMinX).putDouble(env.getMinY)
-        b.putDouble(env.getMaxX).putDouble(env.getMaxY)
+        b.putDouble(e.getMinX).putDouble(e.getMinY)
+        b.putDouble(e.getMaxX).putDouble(e.getMaxY)
         b.putInt(parts.length).putInt(nPts)
         parts.scanLeft(0)(_ + _.length).dropRight(1).foreach(i => b.putInt(i))
         parts.foreach(_.foreach(c => b.putDouble(c.x).putDouble(c.y)))
         b.array()
     }
-    val contents = geoms.map(content)
-    val shpLen = 100 + contents.map(8 + _.length).sum
-    val shp = ByteBuffer.allocate(shpLen)
-    val shx = ByteBuffer.allocate(100 + 8 * contents.length)
-    def header(buf: ByteBuffer, fileLen: Int): Unit = {
+    def header(fileLen: Long): Array[Byte] = {
+      val buf = ByteBuffer.allocate(100)
       buf.order(ByteOrder.BIG_ENDIAN).putInt(9994)
       (0 until 5).foreach(_ => buf.putInt(0))
-      buf.putInt(fileLen / 2).order(ByteOrder.LITTLE_ENDIAN).putInt(1000).putInt(shapeType)
-      val e = new org.locationtech.jts.geom.Envelope()
-      present.foreach(g => e.expandToInclude(g.getEnvelopeInternal))
-      buf.putDouble(e.getMinX).putDouble(e.getMinY).putDouble(e.getMaxX).putDouble(e.getMaxY)
+      buf.putInt((fileLen / 2).toInt).order(ByteOrder.LITTLE_ENDIAN).putInt(1000).putInt(shapeType)
+      buf.putDouble(env.getMinX).putDouble(env.getMinY).putDouble(env.getMaxX).putDouble(env.getMaxY)
       buf.putDouble(0).putDouble(0).putDouble(0).putDouble(0) // Z/M ranges
+      buf.array()
     }
-    header(shp, shpLen); header(shx, shx.capacity())
-    var off = 100
-    contents.zipWithIndex.foreach { case (c, i) =>
-      shx.order(ByteOrder.BIG_ENDIAN).putInt(off / 2).putInt(c.length / 2)
-      shp.order(ByteOrder.BIG_ENDIAN).putInt(i + 1).putInt(c.length / 2)
-      shp.put(c)
-      off += 8 + c.length
-    }
-    java.nio.file.Files.write(java.nio.file.Paths.get(path), shp.array())
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path.replaceAll("(?i)\\.shp$", ".shx")), shx.array())
-
-    // ---- .dbf: dBASE III header + fixed-width records ---------------------
-    import org.apache.spark.sql.types._
-    def fieldBytes(v: Any, tpe: DataType, len: Int): Array[Byte] = {
-      val s = v match {
-        case null => ""
-        case x => x.toString
-      }
-      val raw = s.getBytes("ISO-8859-1").take(len)
+    def fieldBytes(v: Any, numeric: Boolean, len: Int): Array[Byte] = {
+      val raw = render(v).getBytes("ISO-8859-1").take(len)
       val out = Array.fill[Byte](len)(' ')
-      tpe match {
-        case _: NumericType => // right-justified
-          System.arraycopy(raw, 0, out, len - raw.length, raw.length)
-        case _ => System.arraycopy(raw, 0, out, 0, raw.length)
-      }
+      if (numeric) System.arraycopy(raw, 0, out, len - raw.length, raw.length) // right-justified
+      else System.arraycopy(raw, 0, out, 0, raw.length)
       out
-    }
-    // width = widest rendered value (numeric too — a 19-digit long would
-    // silently truncate at the classic fixed 18)
-    val widths = attrs.zipWithIndex.map { case (f, i) =>
-      val w = math.max(1, rows.iterator.map(r =>
-        Option(r.get(i + 1)).map(_.toString.getBytes("ISO-8859-1").length).getOrElse(0)).max)
-      f.dataType match {
-        case _: NumericType => math.max(w, 1)
-        case _ => w
-      }
     }
     val recordSize = 1 + widths.sum
     val headerSize = 32 + 32 * attrs.length + 1
-    val dbf = ByteBuffer.allocate(headerSize + rows.length * recordSize + 1)
-      .order(ByteOrder.LITTLE_ENDIAN)
-    dbf.put(0x03.toByte).put(95.toByte).put(7.toByte).put(26.toByte) // fixed date: deterministic bytes
-    dbf.putInt(rows.length).putShort(headerSize.toShort).putShort(recordSize.toShort)
-    dbf.position(32)
-    attrs.zip(widths).foreach { case (f, w) =>
-      val name = f.name.getBytes("ISO-8859-1").take(10)
-      val d = Array.fill[Byte](32)(0)
-      System.arraycopy(name, 0, d, 0, name.length)
-      d(11) = f.dataType match { case _: NumericType => 'N'; case _ => 'C' }
-      d(16) = w.toByte
-      dbf.put(d)
-    }
-    dbf.put(0x0D.toByte)
-    rows.foreach { r =>
-      dbf.put(' '.toByte) // not deleted
-      attrs.zip(widths).zipWithIndex.foreach { case ((f, w), i) =>
-        dbf.put(fieldBytes(r.get(i + 1), f.dataType, w))
+    require(recordSize <= 0xFFFF, s"dbf record size $recordSize exceeds the 16-bit header field")
+
+    // ---- pass 2: stream again, writing the three files record by record ---
+    import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
+    def open(p: String) =
+      new DataOutputStream(new BufferedOutputStream(new FileOutputStream(p)))
+    val shpOut = open(path)
+    val shxOut = open(path.replaceAll("(?i)\\.shp$", ".shx"))
+    val dbfOut = open(path.replaceAll("(?i)\\.shp$", ".dbf"))
+    try {
+      shpOut.write(header(shpLen))
+      shxOut.write(header(100L + 8L * n))
+      val dh = ByteBuffer.allocate(headerSize).order(ByteOrder.LITTLE_ENDIAN)
+      dh.put(0x03.toByte).put(95.toByte).put(7.toByte).put(26.toByte) // fixed date: deterministic bytes
+      dh.putInt(n.toInt).putShort(headerSize.toShort).putShort(recordSize.toShort)
+      dh.position(32)
+      attrs.indices.foreach { i =>
+        val name = attrs(i).name.getBytes("ISO-8859-1").take(10)
+        val d = Array.fill[Byte](32)(0)
+        System.arraycopy(name, 0, d, 0, name.length)
+        d(11) = if (isNum(i)) 'N' else 'C'
+        d(16) = widths(i).toByte
+        if (isNum(i)) d(17) = fracs(i).toByte // decimal count: 0 means integer to strict readers
+        dh.put(d)
       }
-    }
-    dbf.put(0x1A.toByte)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path.replaceAll("(?i)\\.shp$", ".dbf")), dbf.array())
+      dh.put(0x0D.toByte)
+      dbfOut.write(dh.array())
+      var off = 100L
+      var rec = 0
+      val it2 = proj.toLocalIterator()
+      while (it2.hasNext) {
+        val r = it2.next()
+        val c = content(Option(r.getAs[Array[Byte]](0)).map(Geo.fromWkb).orNull)
+        shxOut.writeInt((off / 2).toInt); shxOut.writeInt(c.length / 2) // big-endian
+        shpOut.writeInt(rec + 1); shpOut.writeInt(c.length / 2)
+        shpOut.write(c)
+        off += 8 + c.length
+        dbfOut.write(' '.toInt) // not deleted
+        var i = 0
+        while (i < attrs.length) {
+          dbfOut.write(fieldBytes(r.get(i + 1), isNum(i), widths(i)))
+          i += 1
+        }
+        rec += 1
+      }
+      dbfOut.write(0x1A)
+    } finally { shpOut.close(); shxOut.close(); dbfOut.close() }
   }
 
   // ---- .dbf attribute records ---------------------------------------------

@@ -89,10 +89,13 @@ object WorkflowRunner {
       staged("grid") {
         // Grid domain + mode (WorkflowOSM.groovy:596-615): the envelope
         // comes from the zone or, when `domain: zone_extended` and an
-        // extended-bbox table is supplied (ZoneExtract), from that table;
+        // extended-bbox table is supplied (ZoneExtract), from that table.
         // `rowCol: true` interprets x/y_size as CELL COUNTS (createGrid
-        // rowCol mode), otherwise they are cell sizes in meters (the
-        // reference's ceil(extent/size) conversion is what makeGrid does).
+        // rowCol mode); `rowCol: false` keeps them as fixed cell sizes in
+        // meters (cells may overhang the envelope); rowCol ABSENT converts
+        // sizes to counts via max(ceil(extent/size),1) and forces count
+        // mode (WorkflowOSM.groovy:606-612) — cells then have size
+        // extent/count and exactly tile the envelope.
         val domainLayer =
           if (g.domain.contains("zone_extended")) extendedZone.getOrElse(layers.zone)
           else layers.zone
@@ -102,12 +105,18 @@ object WorkflowRunner {
             max(graft.geom.GeoFunctions.stXMax(col("the_geom"))).as("x1"),
             max(graft.geom.GeoFunctions.stYMax(col("the_geom"))).as("y1"))
           .head()
-        if (g.rowCol.contains(true))
-          Tiling.makeGridByCount(spark, env.getDouble(0), env.getDouble(1),
-            env.getDouble(2), env.getDouble(3), g.xSize.toLong, g.ySize.toLong)
-        else
-          Tiling.makeGrid(spark, env.getDouble(0), env.getDouble(1),
-            env.getDouble(2), env.getDouble(3), g.xSize.toDouble, g.ySize.toDouble)
+        val (x0, y0, x1, y1) =
+          (env.getDouble(0), env.getDouble(1), env.getDouble(2), env.getDouble(3))
+        g.rowCol match {
+          case Some(true) =>
+            Tiling.makeGridByCount(spark, x0, y0, x1, y1, g.xSize.toLong, g.ySize.toLong)
+          case Some(false) =>
+            Tiling.makeGrid(spark, x0, y0, x1, y1, g.xSize.toDouble, g.ySize.toDouble)
+          case None =>
+            val nCols = math.max(math.ceil((x1 - x0) / g.xSize).toLong, 1L)
+            val nRows = math.max(math.ceil((y1 - y0) / g.ySize).toLong, 1L)
+            Tiling.makeGridByCount(spark, x0, y0, x1, y1, nCols, nRows)
+        }
       }
     }
     Results(mesh, tsu, blocks, rel, bInd, rsuStats, traffic, gridDf)

@@ -44,6 +44,22 @@ class WorkflowRunnerSpec extends SparkTestBase {
     val on = WorkflowRunner.run(spark, pOn, layers, grid, 10)
     assert(on.roadTraffic.get.count() > 0)
     assert(on.grid.get.count() == 8) // 200x90 envelope under 50x50 cells -> 4x2
+    // rowCol absent (WorkflowOSM.groovy:606-612): sizes become counts via
+    // ceil, cells have size extent/count and EXACTLY tile the envelope —
+    // 200/4 x 90/2, last cell ends at the envelope edge (no overhang)
+    val dims = on.grid.get.select(
+      (G.stXMax(col("the_geom")) - G.stXMin(col("the_geom"))).as("w"),
+      (G.stYMax(col("the_geom")) - G.stYMin(col("the_geom"))).as("h")).distinct().collect()
+    assert(dims.length == 1 && dims.head.getDouble(0) == 50.0 && dims.head.getDouble(1) == 45.0)
+    assert(on.grid.get.agg(max(G.stYMax(col("the_geom")))).head().getDouble(0) == 70.0)
+    // rowCol=false keeps fixed meter sizes: 50x50 cells overhang to y=80
+    val pFixed = WorkflowConfig.parse(
+      """{"rsu_indicators": {"surface_vegetation": 2500, "surface_hydro": 2500},
+        |"grid_indicators": {"x_size": 50, "y_size": 50, "rowCol": false,
+        |  "indicators": ["BUILDING_HEIGHT"]}}""".stripMargin)
+    val gFixed = WorkflowRunner.run(spark, pFixed, layers, grid, 10).grid.get
+    assert(gFixed.count() == 8)
+    assert(gFixed.agg(max(G.stYMax(col("the_geom")))).head().getDouble(0) == 80.0)
   }
 
   test("rasterizeIndicators: requested building indicators land on the grid") {
