@@ -31,10 +31,10 @@ object Queries6 {
 
   /** The 9-cell analysis grid (makeGrid ids are 0-based row-major; cell
     * (col,row) 1-based spans [(col-1)·50,(col)·50)×[(row-1)·50,(row)·50)). */
-  private def cells9(s: SparkSession): DataFrame =
+  private[graft] def cells9(s: SparkSession): DataFrame =
     Tiling.makeGrid(s, 0, 0, 150, 150, 50, 50)
 
-  private val cells9Sql =
+  private[graft] val cells9Sql =
     """cells AS (SELECT CAST(range AS BIGINT) AS id_grid,
       |  CAST(range % 3 AS DOUBLE) * 50 AS cx, CAST(range // 3 AS DOUBLE) * 50 AS cy
       |FROM range(0, 9))""".stripMargin
@@ -49,7 +49,7 @@ object Queries6 {
     WorkflowConfig.parse(json).gridIndicators.get.indicators
   }
 
-  private def zoneBox(s: SparkSession): DataFrame =
+  private[graft] def zoneBox(s: SparkSession): DataFrame =
     s.range(1).select(lit(1).as("id_zone"),
       G.stMakeBox(lit(0.0), lit(0.0), lit(150.0), lit(150.0)).as("the_geom"))
 
@@ -60,7 +60,7 @@ object Queries6 {
     * no shared walls, never touching a cell border). The (cell, slot) key
     * has period 144, so doc_id<144 keeps buildings pairwise disjoint
     * (16 per cell at every driver SF). */
-  private def slotBuildings(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def slotBuildings(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
     t(s, dir, "documents").where(d < 144).select(
       d.as("id_build"),
@@ -77,7 +77,7 @@ object Queries6 {
         G.stMakeBox(col("x0"), col("y0"), col("x0") + col("w"), col("y0") + col("h")))
   }
 
-  private val slotBuildingsSql =
+  private[graft] val slotBuildingsSql =
     """gb AS (SELECT doc_id AS id_build, doc_id % 9 AS cell,
       |  CAST(doc_id % 9 % 3 * 50 + ((doc_id // 9) % 4) * 12 + 1 AS DOUBLE) AS x0,
       |  CAST((doc_id % 9) // 3 * 50 + ((doc_id // 36) % 4) * 12 + 1 AS DOUBLE) AS y0,
@@ -91,7 +91,7 @@ object Queries6 {
 
   /** Scatter rectangles crossing cell borders (the rsu_overlay_fractions
     * vegetation/water scenes, Queries2). */
-  private def vegRects(s: SparkSession, dir: String): DataFrame =
+  private[graft] def vegRects(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").where(col("doc_id") < 400).select(
       col("doc_id").as("id_veget"),
       (col("doc_id") % 20 * 7).cast("double").as("vx"),
@@ -103,13 +103,13 @@ object Queries6 {
           col("vy") + col("vh")).as("the_geom"),
         lit("high").as("height_class"))
 
-  private val vegSql =
+  private[graft] val vegSql =
     """veg AS (SELECT CAST(doc_id % 20 * 7 AS DOUBLE) AS vx,
       |    CAST((doc_id // 20) % 20 * 7 AS DOUBLE) AS vy,
       |    CAST(doc_id % 5 + 2 AS DOUBLE) AS vw, CAST(doc_id * 3 % 5 + 2 AS DOUBLE) AS vh
       |  FROM documents WHERE doc_id < 400)""".stripMargin
 
-  private def waterRects(s: SparkSession, dir: String): DataFrame =
+  private[graft] def waterRects(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").where(col("doc_id") < 169).select(
       col("doc_id").as("id_water"),
       (col("doc_id") % 13 * 11).cast("double").as("wx"),
@@ -120,14 +120,14 @@ object Queries6 {
         G.stMakeBox(col("wx"), col("wy"), col("wx") + col("ww"),
           col("wy") + col("wh")).as("the_geom"))
 
-  private val watSql =
+  private[graft] val watSql =
     """wat AS (SELECT CAST(doc_id % 13 * 11 AS DOUBLE) AS wx,
       |    CAST((doc_id // 13) % 13 AS DOUBLE) * 11 AS wy,
       |    CAST(doc_id % 7 + 2 AS DOUBLE) AS ww, CAST(doc_id * 7 % 7 + 2 AS DOUBLE) AS wh
       |  FROM documents WHERE doc_id < 169)""".stripMargin
 
   /** Interval-overlap area of a rect (x0,y0,x0+w,y0+h) with cell (cx,cy)+50. */
-  private def ovSql(px: String, py: String, pw: String, ph: String): String =
+  private[graft] def ovSql(px: String, py: String, pw: String, ph: String): String =
     s"greatest(0.0, least($px + $pw, c.cx + 50) - greatest($px, c.cx))" +
       s" * greatest(0.0, least($py + $ph, c.cy + 50) - greatest($py, c.cy))"
 
