@@ -341,6 +341,224 @@ object Queries7 {
       } finally deleteTree(tmp)
     }),
 
+    // -- BDTopo V3 commune, driver-gated: synthetic V3-schema shapefiles
+    //    (BATIMENT, troncon_de_route, ..., limite_terre_mer) written with
+    //    the engine's writer, read back into the raw V3 tables and pushed
+    //    through BdTopoV3.loadV3 (InputDataLoading.groovy:346-738). Every
+    //    dictionary/filter branch is oracled: building type/use resolution
+    //    (Indifférenciée×Indifférencié cross rules), z_max-z_min+hauteur
+    //    roof, road pos_sol drop + Pont/Gué crossing + nat_restr cycleway
+    //    override, rail track widths, hydro exclusions + Marais→vegetation
+    //    + Bassin de natation→water, sport/football routing, activity
+    //    CATEGORIE×NATURE typing with fictif drop, the UNCLIPPED cimetière
+    //    quirk, and the highest-water coastline filter. Columns:
+    //      building: aux1=main_use n1=hw n2=hr n3=nb_lev
+    //      road: aux1=crossing aux2=dir/admin/lanes n1=width n3=rank n4=zindex
+    //      rail: aux1=crossing n1=width n4=zindex
+    //      water: aux1=regime n4=zindex | urban: n3=id_urban ---------------
+    "bdtopo_v3_e2e" -> ((s, dir) => {
+      val d = col("doc_id")
+      val docs = t(s, dir, "documents").select(d).localCheckpoint()
+      def boxAt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+                w: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column) =
+        G.stMakeBox(x.cast("double"), y.cast("double"),
+          (x + w).cast("double"), (y + h).cast("double"))
+      def lineAt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+                 len: org.apache.spark.sql.Column) =
+        G.stGeomFromWkt(format_string("LINESTRING(%s %s, %s %s)", x, y, x + len, y))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bdtopo_v3")
+      try {
+        // ---- write the commune's V3 layer files ----------------------------
+        Shapefile.write(docs.where(d < 30).select(
+          format_string("B%03d", d).as("id"),
+          element_at(lit(Array("Indifférenciée", "Industriel, agricole ou commercial",
+            "Eglise")), (d % 3).cast("int") + 1).as("nature"),
+          element_at(lit(Array("Indifférencié", "Résidentiel", "Commercial et services")),
+            (d % 4 % 3).cast("int") + 1).as("usage1"),
+          when(d % 4 === 0, lit(null).cast("int")).otherwise((d % 3 + 1).cast("int"))
+            .as("nb_etages"),
+          when(d % 5 === 0, lit(null).cast("double")).otherwise((d % 12 + 3).cast("double"))
+            .as("hauteur"),
+          when(d % 2 === 0, (d % 5 + 10).cast("double")).otherwise(lit(null).cast("double"))
+            .as("z_min_toit"),
+          when(d % 2 === 0, (d % 7 + 16).cast("double")).otherwise(lit(null).cast("double"))
+            .as("z_max_toit"),
+          boxAt(when(d % 13 === 12, d % 10 * 30 + 5000).otherwise(d % 10 * 30),
+            floor(d / lit(10)) * 30, d % 4 + 2, d % 3 + 2).as("the_geom")),
+          "the_geom", s"$tmp/BATIMENT.shp")
+        Shapefile.write(docs.where(d < 30).select(
+          format_string("D%03d", d).as("id"),
+          ((d % 5).cast("double") / 2).as("largeur"),
+          element_at(lit(Array("Route à 1 chaussée", "Route à 2 chaussées", "Sentier")),
+            (d % 3).cast("int") + 1).as("nature"),
+          when(d % 6 === 0, lit("Piste cyclable")).otherwise(lit(null).cast("string"))
+            .as("nat_restr"),
+          element_at(lit(Array("-1", "0", "1", "Gué ou radier")), (d % 4).cast("int") + 1)
+            .as("pos_sol"),
+          element_at(lit(Array("Double sens", "Sens direct", "Sens inverse", null)),
+            (d % 4).cast("int") + 1).as("sens"),
+          element_at(lit(Array("1", "4", "6", null)), (d % 4).cast("int") + 1)
+            .as("importance"),
+          when(d % 2 === 0, lit("Départementale")).otherwise(lit(null).cast("string"))
+            .as("cl_admin"),
+          (d % 3).cast("int").as("nb_voies"),
+          lineAt(d * 40, lit(800) + d % 5, d % 8 + 2).as("the_geom")),
+          "the_geom", s"$tmp/troncon_de_route.shp")
+        Shapefile.write(docs.where(d < 15).select(
+          format_string("T%03d", d).as("id"),
+          element_at(lit(Array("Voie ferrée principale", "Tramway")),
+            (d % 2).cast("int") + 1).as("nature"),
+          element_at(lit(Array("-1", "0", "1")), (d % 3).cast("int") + 1).as("pos_sol"),
+          (d % 3).cast("int").as("nb_voies"),
+          lineAt(d * 40, lit(850) + d % 5, d % 6 + 2).as("the_geom")),
+          "the_geom", s"$tmp/troncon_de_voie_ferree.shp")
+        Shapefile.write(docs.where(d < 20).select(
+          format_string("W%03d", d).as("id"),
+          element_at(lit(Array("Ecoulement naturel", "Marais", "Conduit buse", "Lac")),
+            (d % 4).cast("int") + 1).as("nature"),
+          when(d % 7 === 6, lit("-1")).otherwise(lit("0")).as("pos_sol"),
+          element_at(lit(Array("Permanent", null, "Intermittent")),
+            (d % 3).cast("int") + 1).as("persistanc"),
+          boxAt(d % 10 * 30, lit(900) + floor(d / lit(10)) * 20,
+            d % 4 + 2, d % 3 + 2).as("the_geom")),
+          "the_geom", s"$tmp/surface_hydrographique.shp")
+        Shapefile.write(docs.where(d < 15).select(
+          format_string("V%03d", d).as("id"),
+          element_at(lit(Array("Bois", "Haie")), (d % 2).cast("int") + 1).as("nature"),
+          boxAt(d % 10 * 30, lit(950) + floor(d / lit(10)) * 20,
+            d % 4 + 2, d % 3 + 2).as("the_geom")),
+          "the_geom", s"$tmp/zone_de_vegetation.shp")
+        Shapefile.write(docs.where(d < 12).select(
+          format_string("S%03d", d).as("id"),
+          when(d % 2 === 0, lit("Bassin de natation")).otherwise(lit("Indifférencié"))
+            .as("nature"),
+          element_at(lit(Array("Terrain de football", "Terrain de rugby", "Autre", null)),
+            (d % 4).cast("int") + 1).as("nat_detail"),
+          boxAt(d * 30, lit(1000), d % 4 + 2, d % 3 + 2).as("the_geom")),
+          "the_geom", s"$tmp/terrain_de_sport.shp")
+        Shapefile.write(docs.where(d < 10).select(
+          format_string("C%03d", d).as("id"),
+          element_at(lit(Array("Barrage", "Dalle", "Mur")), (d % 3).cast("int") + 1)
+            .as("nature"),
+          boxAt(d * 30, lit(1050), d % 4 + 2, d % 3 + 2).as("the_geom")),
+          "the_geom", s"$tmp/construction_surfacique.shp")
+        Shapefile.write(docs.where(d < 8).select(
+          format_string("E%03d", d).as("id"), lit("Indifférencié").as("nature"),
+          boxAt(d * 30, lit(1100), d % 4 + 2, d % 3 + 2).as("the_geom")),
+          "the_geom", s"$tmp/equipement_de_transport.shp")
+        Shapefile.write(docs.where(d < 16).select(
+          format_string("A%03d", d).as("id"),
+          element_at(lit(Array("Administratif ou militaire", "Santé", "Sport",
+            "Industriel et commercial")), (d % 4).cast("int") + 1).as("categorie"),
+          element_at(lit(Array("Mairie", "Caserne", "Marché", "Usine", "Autre")),
+            (d % 5).cast("int") + 1).as("nature"),
+          when(d % 8 === 7, lit("Oui")).otherwise(lit("Non")).as("fictif"),
+          boxAt(d * 30, lit(1150), d % 4 + 2, d % 3 + 2).as("the_geom")),
+          "the_geom", s"$tmp/zone_d_activite_ou_d_interet.shp")
+        Shapefile.write(docs.where(d < 8).select(
+          format_string("P%03d", d).as("id"),
+          when(d % 2 === 0, lit("Piste en herbe")).otherwise(lit("Piste en dur"))
+            .as("nature"),
+          boxAt(d * 30, lit(1200), d % 4 + 2, d % 3 + 2).as("the_geom")),
+          "the_geom", s"$tmp/piste_d_aerodrome.shp")
+        Shapefile.write(docs.where(d < 6).select(
+          format_string("M%03d", d).as("id"), lit("Cimetière").as("nature"),
+          boxAt(when(d === 5, lit(5000)).otherwise(d * 30), lit(1250),
+            d % 4 + 2, d % 3 + 2).as("the_geom")),
+          "the_geom", s"$tmp/cimetiere.shp")
+        Shapefile.write(docs.where(d < 8).select(
+          format_string("L%03d", d).as("id"),
+          when(d % 2 === 0, lit("Plus hautes eaux")).otherwise(lit("Autre"))
+            .as("niveau"),
+          lineAt(d * 40, lit(1300) + d % 3, d % 5 + 2).as("the_geom")),
+          "the_geom", s"$tmp/limite_terre_mer.shp")
+
+        // ---- read back into the raw V3 tables and load ---------------------
+        def rawT(name: String, attrs: (String, String)*): DataFrame =
+          Shapefile.read(s, s"$tmp/$name.shp").select(
+            (col("the_geom") +: Shapefile.attr("id").as("id") +:
+              attrs.map { case (n, t) =>
+                if (t == "string") Shapefile.attr(n).as(n)
+                else Shapefile.attr(n).try_cast(t).as(n)
+              }): _*)
+        import s.implicits._
+        val commune = Seq("13001").toDF("code_insee")
+          .select(G.stMakeBox(lit(0.0), lit(0.0), lit(1200.0), lit(1500.0))
+            .as("the_geom"), col("code_insee"))
+        val layers = graft.sources.BdTopoV3.loadV3(commune,
+          batiment = rawT("BATIMENT", "nature" -> "string", "usage1" -> "string",
+            "nb_etages" -> "int", "hauteur" -> "double",
+            "z_min_toit" -> "double", "z_max_toit" -> "double"),
+          tronconDeRoute = rawT("troncon_de_route", "largeur" -> "double",
+            "nature" -> "string", "nat_restr" -> "string", "pos_sol" -> "string",
+            "sens" -> "string", "importance" -> "string", "cl_admin" -> "string",
+            "nb_voies" -> "string"),
+          tronconDeVoieFerree = rawT("troncon_de_voie_ferree", "nature" -> "string",
+            "pos_sol" -> "string", "nb_voies" -> "int"),
+          surfaceHydrographique = rawT("surface_hydrographique", "nature" -> "string",
+            "pos_sol" -> "string", "persistanc" -> "string"),
+          zoneDeVegetation = rawT("zone_de_vegetation", "nature" -> "string"),
+          terrainDeSport = rawT("terrain_de_sport", "nature" -> "string",
+            "nat_detail" -> "string"),
+          constructionSurfacique = rawT("construction_surfacique", "nature" -> "string"),
+          equipementDeTransport = rawT("equipement_de_transport", "nature" -> "string"),
+          zoneDActivite = rawT("zone_d_activite_ou_d_interet", "categorie" -> "string",
+            "nature" -> "string", "fictif" -> "string"),
+          pisteDAerodrome = rawT("piste_d_aerodrome", "nature" -> "string"),
+          cimetiere = rawT("cimetiere", "nature" -> "string"),
+          limiteTerreMer = Some(rawT("limite_terre_mer", "niveau" -> "string")),
+          distance = 10.0, grid = grid, res = Res)
+
+        val nul = lit(null).cast("string")
+        val nulD = lit(null).cast("double")
+        val nulL = lit(null).cast("long")
+        def dash(c: org.apache.spark.sql.Column) = coalesce(c, lit("-"))
+        val b = layers.building.select(lit("building").as("layer"),
+          col("id_source"), col("type"), col("main_use").as("aux1"), nul.as("aux2"),
+          col("height_wall").as("n1"), col("height_roof").as("n2"),
+          col("nb_lev").cast("long").as("n3"), nulL.as("n4"),
+          round(G.stArea(col("the_geom")), 9).as("measure"))
+        val r = layers.road.select(lit("road").as("layer"),
+          col("id_source"), col("type"), col("crossing").as("aux1"),
+          concat(dash(col("direction")), lit("/"), dash(col("admin_scale")),
+            lit("/"), dash(col("nb_voies"))).as("aux2"),
+          col("width").as("n1"), nulD.as("n2"), col("rank").cast("long").as("n3"),
+          col("zindex").cast("long").as("n4"),
+          round(G.stLength(col("the_geom")), 9).as("measure"))
+        val rl = layers.rail.select(lit("rail").as("layer"),
+          col("id_source"), col("type"), col("crossing").as("aux1"), nul.as("aux2"),
+          col("width").as("n1"), nulD.as("n2"), nulL.as("n3"),
+          col("zindex").cast("long").as("n4"),
+          round(G.stLength(col("the_geom")), 9).as("measure"))
+        val w = layers.water.select(lit("water").as("layer"),
+          col("id_source"), col("type"), col("regime").as("aux1"), nul.as("aux2"),
+          nulD.as("n1"), nulD.as("n2"), nulL.as("n3"),
+          col("zindex").cast("long").as("n4"),
+          round(G.stArea(col("the_geom")), 9).as("measure"))
+        val v = layers.vegetation.select(lit("veget").as("layer"),
+          col("id_source"), col("type"), nul.as("aux1"), nul.as("aux2"),
+          nulD.as("n1"), nulD.as("n2"), nulL.as("n3"),
+          col("zindex").cast("long").as("n4"),
+          round(G.stArea(col("the_geom")), 9).as("measure"))
+        val imp = layers.impervious.select(lit("impervious").as("layer"),
+          col("id_source"), col("type"), nul.as("aux1"), nul.as("aux2"),
+          nulD.as("n1"), nulD.as("n2"), nulL.as("n3"), nulL.as("n4"),
+          round(G.stArea(col("the_geom")), 9).as("measure"))
+        val ua = layers.urbanAreas.select(lit("urban_areas").as("layer"),
+          col("id_source"), col("type"), nul.as("aux1"), nul.as("aux2"),
+          nulD.as("n1"), nulD.as("n2"), col("id_urban").cast("long").as("n3"),
+          nulL.as("n4"), round(G.stArea(col("the_geom")), 9).as("measure"))
+        val cl = layers.coastline.get.select(lit("coastline").as("layer"),
+          col("id_source"), nul.as("type"), nul.as("aux1"), nul.as("aux2"),
+          nulD.as("n1"), nulD.as("n2"), nulL.as("n3"), nulL.as("n4"),
+          round(G.stLength(col("the_geom")), 9).as("measure"))
+        b.unionByName(r).unionByName(rl).unionByName(w).unionByName(v)
+          .unionByName(imp).unionByName(ua).unionByName(cl)
+          .orderBy("layer", "id_source", "type")
+          .localCheckpoint() // materialize before the temp files are deleted
+      } finally deleteTree(tmp)
+    }),
+
     // -- Overpass QL generation (Utilities.groovy toBBox :323, toPoly :342,
     //    buildOSMQuery :374-530, buildOSMQueryWithAllData :458): the exact
     //    query text a user would hand to Overpass, four shapes per bbox —
@@ -717,5 +935,188 @@ object Queries7 {
         |SELECT * FROM bld UNION ALL SELECT * FROM road UNION ALL SELECT * FROM rail
         |UNION ALL SELECT * FROM wat UNION ALL SELECT * FROM veg
         |UNION ALL SELECT * FROM imp UNION ALL SELECT * FROM ua
-        |ORDER BY layer, id, id_source""".stripMargin)
+        |ORDER BY layer, id, id_source""".stripMargin,
+
+    // every V3 loadV3 branch recomputed analytically; the d%13=12 buildings
+    // sit outside the commune envelope (clipped), the d=5 cemetery does too
+    // but survives via the reference's unclipped-cimetière quirk
+    "bdtopo_v3_e2e" ->
+      """WITH b0 AS (SELECT printf('B%03d', doc_id) AS ids,
+        |    CASE doc_id % 3 WHEN 0 THEN 'Indifférenciée'
+        |      WHEN 1 THEN 'Industriel, agricole ou commercial' ELSE 'Eglise' END AS nature,
+        |    CASE doc_id % 4 % 3 WHEN 0 THEN 'Indifférencié' WHEN 1 THEN 'Résidentiel'
+        |      ELSE 'Commercial et services' END AS usage1,
+        |    CASE WHEN doc_id % 4 = 0 THEN NULL ELSE doc_id % 3 + 1 END AS nb_etages,
+        |    CASE WHEN doc_id % 5 = 0 THEN NULL
+        |      ELSE CAST(doc_id % 12 + 3 AS DOUBLE) END AS hauteur,
+        |    CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 5 + 10 AS DOUBLE) END AS zmin,
+        |    CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 7 + 16 AS DOUBLE) END AS zmax,
+        |    CAST((doc_id % 4 + 2) * (doc_id % 3 + 2) AS DOUBLE) AS area
+        |  FROM documents WHERE doc_id < 30 AND doc_id % 13 <> 12),
+        |bld AS (SELECT 'building' AS layer, ids AS id_source,
+        |    CASE WHEN nature = 'Indifférenciée' AND usage1 <> 'Indifférencié' THEN usage1
+        |      WHEN nature = 'Indifférenciée' AND usage1 = 'Indifférencié' THEN 'Bâtiment'
+        |      WHEN nature = 'Industriel, agricole ou commercial'
+        |        AND usage1 <> 'Indifférencié' THEN usage1
+        |      ELSE nature END AS type,
+        |    CASE WHEN usage1 = 'Indifférencié' AND nature = 'Indifférenciée' THEN 'Bâtiment'
+        |      WHEN usage1 = 'Indifférencié' AND nature <> 'Indifférenciée' THEN nature
+        |      ELSE usage1 END AS aux1,
+        |    CAST(NULL AS VARCHAR) AS aux2, hauteur AS n1,
+        |    CASE WHEN zmax IS NOT NULL AND zmin IS NOT NULL
+        |      THEN zmax - zmin + hauteur END AS n2,
+        |    CAST(nb_etages AS BIGINT) AS n3, CAST(NULL AS BIGINT) AS n4,
+        |    round(area, 9) AS measure FROM b0),
+        |r0 AS (SELECT printf('D%03d', doc_id) AS ids,
+        |    CAST(doc_id % 5 AS DOUBLE) / 2 AS largeur,
+        |    CASE doc_id % 3 WHEN 0 THEN 'Route à 1 chaussée'
+        |      WHEN 1 THEN 'Route à 2 chaussées' ELSE 'Sentier' END AS nature,
+        |    CASE WHEN doc_id % 6 = 0 THEN 'Piste cyclable' END AS nat_restr,
+        |    CASE doc_id % 4 WHEN 0 THEN '-1' WHEN 1 THEN '0' WHEN 2 THEN '1'
+        |      ELSE 'Gué ou radier' END AS pos_sol,
+        |    CASE doc_id % 4 WHEN 0 THEN 'Double' WHEN 1 THEN 'Direct'
+        |      WHEN 2 THEN 'Inverse' END AS dir3,
+        |    CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 6 END AS rnk,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'Départementale' END AS cl_admin,
+        |    CAST(doc_id % 3 AS VARCHAR) AS nb_voies,
+        |    CAST(doc_id % 8 + 2 AS DOUBLE) AS len
+        |  FROM documents WHERE doc_id < 30),
+        |road AS (SELECT 'road' AS layer, ids AS id_source,
+        |    CASE WHEN nat_restr = 'Piste cyclable' THEN nat_restr ELSE nature END AS type,
+        |    CASE WHEN pos_sol IN ('1', '2', '3', '4') THEN 'Pont'
+        |      WHEN pos_sol = 'Gué ou radier' THEN pos_sol END AS aux1,
+        |    coalesce(dir3, '-') || '/' || coalesce(cl_admin, '-') || '/' || nb_voies AS aux2,
+        |    largeur AS n1, CAST(NULL AS DOUBLE) AS n2, CAST(rnk AS BIGINT) AS n3,
+        |    CAST(CASE WHEN pos_sol = 'Gué ou radier' THEN 0
+        |      ELSE CAST(pos_sol AS INT) END AS BIGINT) AS n4,
+        |    round(len, 9) AS measure
+        |  FROM r0 WHERE pos_sol <> '-1'),
+        |t0 AS (SELECT printf('T%03d', doc_id) AS ids,
+        |    CASE doc_id % 2 WHEN 0 THEN 'Voie ferrée principale' ELSE 'Tramway' END AS nature,
+        |    CASE doc_id % 3 WHEN 0 THEN -1 WHEN 1 THEN 0 ELSE 1 END AS pos_sol,
+        |    doc_id % 3 AS nv, CAST(doc_id % 6 + 2 AS DOUBLE) AS len
+        |  FROM documents WHERE doc_id < 15),
+        |rail AS (SELECT 'rail' AS layer, ids AS id_source, nature AS type,
+        |    CASE WHEN pos_sol IN (1, 2, 3, 4) THEN 'Pont' END AS aux1,
+        |    CAST(NULL AS VARCHAR) AS aux2,
+        |    CASE WHEN nv = 0 THEN 1.435 ELSE 1.435 * nv END AS n1,
+        |    CAST(NULL AS DOUBLE) AS n2, CAST(NULL AS BIGINT) AS n3,
+        |    CAST(pos_sol AS BIGINT) AS n4, round(len, 9) AS measure
+        |  FROM t0 WHERE pos_sol >= 0),
+        |w0 AS (SELECT printf('W%03d', doc_id) AS ids,
+        |    CASE doc_id % 4 WHEN 0 THEN 'Ecoulement naturel' WHEN 1 THEN 'Marais'
+        |      WHEN 2 THEN 'Conduit buse' ELSE 'Lac' END AS nature,
+        |    CASE WHEN doc_id % 7 = 6 THEN -1 ELSE 0 END AS pos_sol,
+        |    CASE doc_id % 3 WHEN 0 THEN 'Permanent' WHEN 2 THEN 'Intermittent' END AS persistanc,
+        |    CAST((doc_id % 4 + 2) * (doc_id % 3 + 2) AS DOUBLE) AS area
+        |  FROM documents WHERE doc_id < 20),
+        |sp0 AS (SELECT printf('S%03d', doc_id) AS ids, doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'Bassin de natation'
+        |      ELSE 'Indifférencié' END AS nature,
+        |    CASE doc_id % 4 WHEN 0 THEN 'Terrain de football' WHEN 1 THEN 'Terrain de rugby'
+        |      WHEN 2 THEN 'Autre' END AS nat_detail,
+        |    CAST((doc_id % 4 + 2) * (doc_id % 3 + 2) AS DOUBLE) AS area
+        |  FROM documents WHERE doc_id < 12),
+        |wat AS (
+        |  SELECT 'water' AS layer, ids AS id_source, nature AS type,
+        |    CASE WHEN persistanc = 'Permanent' THEN 'Permanent'
+        |      ELSE 'Intermittent' END AS aux1,
+        |    CAST(NULL AS VARCHAR) AS aux2, CAST(NULL AS DOUBLE) AS n1,
+        |    CAST(NULL AS DOUBLE) AS n2, CAST(NULL AS BIGINT) AS n3,
+        |    CAST(0 AS BIGINT) AS n4, round(area, 9) AS measure
+        |  FROM w0 WHERE pos_sol >= 0 AND nature NOT IN ('Conduit buse', 'Marais')
+        |  UNION ALL
+        |  SELECT 'water', ids, nature, 'Permanent', NULL, NULL, NULL, NULL,
+        |    CAST(0 AS BIGINT), round(area, 9)
+        |  FROM sp0 WHERE nature = 'Bassin de natation'),
+        |veg AS (
+        |  SELECT 'veget' AS layer, printf('V%03d', doc_id) AS id_source,
+        |    CASE doc_id % 2 WHEN 0 THEN 'Bois' ELSE 'Haie' END AS type,
+        |    CAST(NULL AS VARCHAR) AS aux1, CAST(NULL AS VARCHAR) AS aux2,
+        |    CAST(NULL AS DOUBLE) AS n1, CAST(NULL AS DOUBLE) AS n2,
+        |    CAST(NULL AS BIGINT) AS n3, CAST(0 AS BIGINT) AS n4,
+        |    round(CAST((doc_id % 4 + 2) * (doc_id % 3 + 2) AS DOUBLE), 9) AS measure
+        |  FROM documents WHERE doc_id < 15
+        |  UNION ALL
+        |  SELECT 'veget', printf('P%03d', doc_id), 'Piste en herbe', NULL, NULL,
+        |    NULL, NULL, NULL, CAST(0 AS BIGINT),
+        |    round(CAST((doc_id % 4 + 2) * (doc_id % 3 + 2) AS DOUBLE), 9)
+        |  FROM documents WHERE doc_id < 8 AND doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'veget', ids, nat_detail, NULL, NULL, NULL, NULL, NULL,
+        |    CAST(0 AS BIGINT), round(area, 9)
+        |  FROM sp0 WHERE nat_detail IN ('Terrain de football', 'Terrain de rugby')
+        |  UNION ALL
+        |  SELECT 'veget', ids, 'Marais', NULL, NULL, NULL, NULL, NULL,
+        |    CAST(0 AS BIGINT), round(area, 9)
+        |  FROM w0 WHERE pos_sol >= 0 AND nature = 'Marais'),
+        |act AS (SELECT printf('A%03d', doc_id) AS ids,
+        |    CASE doc_id % 4 WHEN 0 THEN 'Administratif ou militaire' WHEN 1 THEN 'Santé'
+        |      WHEN 2 THEN 'Sport' ELSE 'Industriel et commercial' END AS categorie,
+        |    CASE doc_id % 5 WHEN 0 THEN 'Mairie' WHEN 1 THEN 'Caserne' WHEN 2 THEN 'Marché'
+        |      WHEN 3 THEN 'Usine' ELSE 'Autre' END AS nature,
+        |    CAST((doc_id % 4 + 2) * (doc_id % 3 + 2) AS DOUBLE) AS area
+        |  FROM documents WHERE doc_id < 16 AND doc_id % 8 <> 7),
+        |actt AS (SELECT *,
+        |    CASE WHEN categorie = 'Administratif ou militaire' AND nature = 'Mairie'
+        |        THEN 'government'
+        |      WHEN categorie = 'Administratif ou militaire' AND nature = 'Caserne'
+        |        THEN 'military'
+        |      WHEN categorie = 'Santé' THEN 'healthcare'
+        |      WHEN categorie = 'Sport' THEN 'sport'
+        |      WHEN categorie = 'Industriel et commercial' AND nature = 'Marché'
+        |        THEN 'commercial'
+        |      WHEN categorie = 'Industriel et commercial' AND nature = 'Usine'
+        |        THEN 'industrial'
+        |      ELSE 'unknown' END AS typ
+        |  FROM act),
+        |imp AS (
+        |  SELECT 'impervious' AS layer, ids AS id_source, 'sport' AS type,
+        |    CAST(NULL AS VARCHAR) AS aux1, CAST(NULL AS VARCHAR) AS aux2,
+        |    CAST(NULL AS DOUBLE) AS n1, CAST(NULL AS DOUBLE) AS n2,
+        |    CAST(NULL AS BIGINT) AS n3, CAST(NULL AS BIGINT) AS n4,
+        |    round(area, 9) AS measure
+        |  FROM sp0 WHERE nat_detail = 'Autre'
+        |  UNION ALL
+        |  SELECT 'impervious', printf('C%03d', doc_id), 'building', NULL, NULL,
+        |    NULL, NULL, NULL, NULL,
+        |    round(CAST((doc_id % 4 + 2) * (doc_id % 3 + 2) AS DOUBLE), 9)
+        |  FROM documents WHERE doc_id < 10 AND doc_id % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 'impervious', printf('E%03d', doc_id), 'transport', NULL, NULL,
+        |    NULL, NULL, NULL, NULL,
+        |    round(CAST((doc_id % 4 + 2) * (doc_id % 3 + 2) AS DOUBLE), 9)
+        |  FROM documents WHERE doc_id < 8
+        |  UNION ALL
+        |  SELECT 'impervious', ids, typ, NULL, NULL, NULL, NULL, NULL, NULL,
+        |    round(area, 9)
+        |  FROM actt WHERE typ <> 'unknown'
+        |  UNION ALL
+        |  SELECT 'impervious', printf('M%03d', doc_id), 'cemetery', NULL, NULL,
+        |    NULL, NULL, NULL, NULL,
+        |    round(CAST((doc_id % 4 + 2) * (doc_id % 3 + 2) AS DOUBLE), 9)
+        |  FROM documents WHERE doc_id < 6
+        |  UNION ALL
+        |  SELECT 'impervious', printf('P%03d', doc_id), 'transport', NULL, NULL,
+        |    NULL, NULL, NULL, NULL,
+        |    round(CAST((doc_id % 4 + 2) * (doc_id % 3 + 2) AS DOUBLE), 9)
+        |  FROM documents WHERE doc_id < 8 AND doc_id % 2 = 1),
+        |ua AS (SELECT 'urban_areas' AS layer, ids AS id_source, typ AS type,
+        |    CAST(NULL AS VARCHAR) AS aux1, CAST(NULL AS VARCHAR) AS aux2,
+        |    CAST(NULL AS DOUBLE) AS n1, CAST(NULL AS DOUBLE) AS n2,
+        |    CAST(1 AS BIGINT) AS n3, CAST(NULL AS BIGINT) AS n4,
+        |    round(area, 9) AS measure
+        |  FROM actt WHERE typ <> 'unknown'),
+        |cl AS (SELECT 'coastline' AS layer, printf('L%03d', doc_id) AS id_source,
+        |    CAST(NULL AS VARCHAR) AS type, CAST(NULL AS VARCHAR) AS aux1,
+        |    CAST(NULL AS VARCHAR) AS aux2, CAST(NULL AS DOUBLE) AS n1,
+        |    CAST(NULL AS DOUBLE) AS n2, CAST(NULL AS BIGINT) AS n3,
+        |    CAST(NULL AS BIGINT) AS n4,
+        |    round(CAST(doc_id % 5 + 2 AS DOUBLE), 9) AS measure
+        |  FROM documents WHERE doc_id < 8 AND doc_id % 2 = 0)
+        |SELECT * FROM bld UNION ALL SELECT * FROM road UNION ALL SELECT * FROM rail
+        |UNION ALL SELECT * FROM wat UNION ALL SELECT * FROM veg
+        |UNION ALL SELECT * FROM imp UNION ALL SELECT * FROM ua
+        |UNION ALL SELECT * FROM cl
+        |ORDER BY layer, id_source, type""".stripMargin)
 }
