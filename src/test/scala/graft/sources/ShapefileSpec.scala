@@ -109,4 +109,38 @@ class ShapefileSpec extends SparkTestBase {
     assert(g.getArea == 100.0 - 4.0)
     assert(g.asInstanceOf[org.locationtech.jts.geom.Polygon].getNumInteriorRing == 1)
   }
+
+  test("writer guards: mixed families throw, >254-byte field throws, decimal count set") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shpw3")
+    // mixed geometry families: a LineString in a Point-typed layer must
+    // throw, not silently emit records inconsistent with the declared type
+    val mixed = Seq((1, "POINT(1 2)"), (2, "LINESTRING(0 0, 3 4)"))
+      .toDF("k", "wkt").select(G.stGeomFromWkt(col("wkt")).as("the_geom"), col("k"))
+    val e1 = intercept[Exception](Shapefile.write(mixed, "the_geom", s"$tmp/m.shp"))
+    assert(e1.getMessage.contains("mixed geometry families"))
+    // a value wider than dBASE's one-byte descriptor cap (254) must throw
+    // instead of wrapping the length byte and misaligning every later field
+    val wide = Seq((1, "x" * 300)).toDF("k", "s")
+      .select(G.stPoint(lit(0.0), lit(0.0)).as("the_geom"), col("k"), col("s"))
+    val e2 = intercept[Exception](Shapefile.write(wide, "the_geom", s"$tmp/w.shp"))
+    assert(e2.getMessage.contains("254"))
+    // fractional numerics carry the widest rendered fraction in the dbf
+    // decimal-count byte (offset 17 of the field descriptor) so strict
+    // readers do not truncate '0.5' to an integer
+    val frac = Seq((1, 0.5), (2, 2.25)).toDF("k", "v")
+      .select(G.stPoint(col("v"), lit(0.0)).as("the_geom"), col("k"), col("v"))
+    Shapefile.write(frac, "the_geom", s"$tmp/f.shp")
+    val dbf = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/f.dbf"))
+    // descriptors start at 32, 32 bytes each: field 0 = k (int, 0 decimals),
+    // field 1 = v (widest fraction '2.25' -> 2 decimals)
+    assert(dbf(32 + 17) == 0 && dbf(32 + 32 + 17) == 2)
+    val back = Shapefile.read(spark, s"$tmp/f.shp")
+      .select(Shapefile.attr("k").cast("int"), Shapefile.attr("v").cast("double"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(back == Set((1, 0.5), (2, 2.25)))
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+  }
 }
