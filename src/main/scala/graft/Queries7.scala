@@ -595,6 +595,37 @@ object Queries7 {
             OverpassQuery.AllElements)))
       }
       rows.toDF("i", "variant", "query_text").orderBy("i", "variant")
+    }),
+
+    // -- transitive near-dup clustering (pairs -> connected components ->
+    //    canonical survivor): the cluster-level dedup semantics a corpus
+    //    pipeline applies on top of the pair generators. Pairs come from
+    //    the SAME capped MinHash-LSH call the dedup_minhash_lsh gate proves
+    //    equal to exact all-pairs jaccard >= 0.4, so the oracle can build
+    //    the graph from the exact pair set and close it with a recursive
+    //    CTE (the blocks_cc pattern). ------------------------------------
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = operators.Dedup.minhashLsh(docs, "doc_id", "text",
+        k = 3, bands = 16, rowsPerBand = 3, threshold = 0.4,
+        maxBucket = Some(4096))
+      operators.Dedup.clusters(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("cluster"), col("keep"), col("cluster_size"))
+        .orderBy("doc_id")
+    }),
+
+    // -- intra-document repetition metrics (Gopher/C4-style duplicate-text
+    //    quality signals): dup-word fraction, most frequent bigram + its
+    //    character coverage, duplicated-trigram character fraction. All
+    //    integer counts divided once — bit-identical across engines. ------
+    "text_repetition" -> ((s, dir) => {
+      operators.TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_words"),
+          round(col("dup_word_frac"), 9).as("dup_word_frac"),
+          col("top_bigram"),
+          round(col("top_bigram_frac"), 9).as("top_bigram_frac"),
+          round(col("dup_trigram_frac"), 9).as("dup_trigram_frac"))
+        .orderBy("doc_id")
     }))
 
   // ==========================================================================
@@ -731,6 +762,61 @@ object Queries7 {
         |ORDER BY layer""".stripMargin,
 
     "overpass_query_gen" -> overpassSql,
+
+    // graph = exact all-pairs trigram-set jaccard >= 0.4 (the
+    // dedup_minhash_lsh oracle's pair set — that gate proves the LSH pair
+    // output equals it), closed transitively with a recursive CTE; the
+    // cluster label is the min reachable id (blocks_cc pattern)
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w, unnest(range(0, len(w)-2)) AS g FROM toks WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[g+1:g+3], ' ') AS tri FROM idx),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.tri = b.tri AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM p0
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.4),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (SELECT doc_id AS a, doc_id AS b FROM documents
+        |  UNION SELECT re.a, e.dst AS b FROM reach re JOIN e ON re.b = e.src),
+        |comp AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster
+        |  FROM reach GROUP BY a),
+        |cs AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY 1)
+        |SELECT c.doc_id, c.cluster, c.doc_id = c.cluster AS keep, cs.cluster_size
+        |FROM comp c JOIN cs ON cs.cluster = c.cluster
+        |ORDER BY c.doc_id""".stripMargin,
+
+    // integer gram counts divided once by integer char counts — identical
+    // IEEE doubles both engines; top bigram tie-break = (count DESC, gram
+    // ASC), the engine's min(struct(-count, gram)) aggregate
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |    CAST(length(text) AS DOUBLE) AS nc FROM documents),
+        |ws AS (SELECT doc_id, nc, len(w) AS nw, len(list_distinct(w)) AS ndw FROM w),
+        |bi AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM w)),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+        |top AS (SELECT doc_id, g, c FROM (SELECT doc_id, g, c,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+        |  FROM bc) WHERE rn = 1),
+        |tri AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM w)),
+        |tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+        |dup AS (SELECT doc_id, sum(c * length(g)) AS dupchars FROM tc
+        |  WHERE c >= 2 GROUP BY 1)
+        |SELECT ws.doc_id, CAST(ws.nw AS BIGINT) AS n_words,
+        |  round(CASE WHEN ws.nw > 0
+        |    THEN 1.0 - CAST(ws.ndw AS DOUBLE)/ws.nw ELSE 0.0 END, 9) AS dup_word_frac,
+        |  top.g AS top_bigram,
+        |  round(CASE WHEN ws.nc > 0 AND top.c IS NOT NULL
+        |    THEN top.c * length(top.g) / ws.nc ELSE 0.0 END, 9) AS top_bigram_frac,
+        |  round(CASE WHEN ws.nc > 0
+        |    THEN coalesce(dup.dupchars, 0) / ws.nc ELSE 0.0 END, 9) AS dup_trigram_frac
+        |FROM ws LEFT JOIN top ON top.doc_id = ws.doc_id
+        |LEFT JOIN dup ON dup.doc_id = ws.doc_id
+        |ORDER BY ws.doc_id""".stripMargin,
 
     // every dictionary branch recomputed: NATURE→(type,use), the height/
     // level rules (hauteur>0 → floor(h/3) levels; hauteur=0 → type default

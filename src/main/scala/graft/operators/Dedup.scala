@@ -270,4 +270,35 @@ object Dedup {
           .select("id_a", "id_b", "jaccard")
     }
   }
+
+  /**
+   * Transitive near-dup clustering + canonical-survivor selection — the
+   * cluster-level dedup semantics of large corpus pipelines: near-dup PAIRS
+   * (from [[minhashLsh]] / [[simhashPairs]] / [[ngramJaccardPairs]] /
+   * Similarity.cosinePairs) define an undirected graph; every connected
+   * component is one duplicate cluster and its MINIMUM id is the canonical
+   * survivor. This differs from Curation.curate's one-pass greedy rule
+   * (drop the larger id of every pair): a transitive chain a~b~c with no
+   * (a,c) pair keeps ONLY a here, while the greedy rule keeps a AND drops
+   * b,c — same drop-set on cliques, different on chains.
+   *
+   * Scale: the graph is ids-only (pairs are the already-bounded output of a
+   * banded candidate join — document text never rides any shuffle here);
+   * components run pointer-jumped min-label propagation (O(log diameter)
+   * rounds, [[ConnectedComponents.run]]); the size join is keyed by the
+   * cluster label.
+   *
+   * @return one row per input doc:
+   *         (idCol, cluster = min id of its component,
+   *          keep = id == cluster, cluster_size)
+   */
+  def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+               aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comp = ConnectedComponents.run(docs.select(col(idCol)), idCol,
+      pairs.select(col(aCol), col(bCol)), aCol, bCol)
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, Seq("component"))
+      .select(col("id").as(idCol), col("component").as("cluster"),
+        (col("id") === col("component")).as("keep"), col("cluster_size"))
+  }
 }

@@ -74,6 +74,66 @@ object TextAnalysis {
       (acc, w) => pmod(acc * B + pmod(wordHash(w), lit(P)), lit(P)))
   }
 
+  /** Word n-grams as strings from shifted slices + zip_with — NEVER
+    * element_at inside a lambda (interpreted HOFs re-evaluate the source
+    * array per access: O(n²) per document, see Dedup.shingles). */
+  private def wordGrams(wordsCol: Column, n: Int): Column = {
+    val m = greatest(size(wordsCol) - n + 1, lit(0)) // number of windows
+    val parts = (0 until n).map(j => slice(wordsCol, lit(j + 1), m))
+    parts.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
+  }
+
+  /**
+   * Intra-document repetition metrics — the duplicate-text quality signals
+   * a web-corpus filter thresholds on (the Gopher §A1.1 / C4 family of
+   * repetition filters, re-expressed over the word sequence):
+   *
+   *  - `dup_word_frac`     = 1 − |distinct words| / |words|
+   *  - `top_bigram`        = most frequent word bigram (count ties break to
+   *                          the lexicographically smallest — deterministic)
+   *  - `top_bigram_frac`   = count(top bigram)·chars(top bigram) / chars(doc)
+   *  - `dup_trigram_frac`  = Σ_{trigram g: count(g) ≥ 2} count(g)·chars(g)
+   *                          / chars(doc)
+   *
+   * Scale: one codegen'd scan explodes (doc, n, gram) rows (grams built
+   * with shifted slices + zip_with, no interpreted HOF); both aggregations
+   * are hash aggregates keyed by (doc, n, gram) then doc — no windows, no
+   * skew beyond document length, and the text itself never rides a shuffle
+   * (only grams do). The top-bigram pick is a `min(struct(−count, gram))`
+   * aggregate, not a global sort.
+   */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol).as("__t"))
+      .select(col(idCol), length(col("__t")).cast("double").as("__nc"),
+        split(col("__t"), " ", -1).as("__w"))
+    val wordStats = base.select(col(idCol), col("__nc"),
+      size(col("__w")).cast("long").as("n_words"),
+      size(array_distinct(col("__w"))).cast("long").as("__ndw"))
+    val grams = base.select(col(idCol), explode(concat(
+        transform(wordGrams(col("__w"), 2), g => struct(lit(2).as("n"), g.as("g"))),
+        transform(wordGrams(col("__w"), 3), g => struct(lit(3).as("n"), g.as("g"))))).as("__e"))
+      .select(col(idCol), col("__e.n").as("__n"), col("__e.g").as("__g"))
+    val counts = grams.groupBy(col(idCol), col("__n"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val perDoc = counts.groupBy(col(idCol)).agg(
+      min(when(col("__n") === 2,
+        struct((-col("__c")).as("nc"), col("__g").as("g")))).as("__top"),
+      sum(when(col("__n") === 3 && col("__c") >= 2,
+        col("__c") * length(col("__g")).cast("long")).otherwise(0L)).as("__dupTriChars"))
+    wordStats.join(perDoc, Seq(idCol), "left").select(col(idCol),
+      col("n_words"),
+      when(col("n_words") > 0,
+        lit(1.0) - col("__ndw").cast("double") / col("n_words")).otherwise(0.0)
+        .as("dup_word_frac"),
+      col("__top.g").as("top_bigram"),
+      when(col("__nc") > 0 && col("__top").isNotNull,
+        (-col("__top.nc")).cast("double") * length(col("__top.g")) / col("__nc"))
+        .otherwise(0.0).as("top_bigram_frac"),
+      when(col("__nc") > 0,
+        coalesce(col("__dupTriChars").cast("double"), lit(0.0)) / col("__nc"))
+        .otherwise(0.0).as("dup_trigram_frac"))
+  }
+
   /** One-pass text-stats projection for the documents table. */
   def analyze(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),

@@ -180,6 +180,46 @@ class PipelineOpsSpec extends SparkTestBase {
       f2.collect().map(x => (x.mediaId, x.features.toSeq)).toMap)
   }
 
+  test("dedup clusters: transitive chains collapse to one survivor") {
+    import spark.implicits._
+    val d = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 1~2~3 (no 1~3 pair) + pair 5~6 + singleton 4
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(d, "doc_id", pairs)
+      .select("doc_id", "cluster", "keep", "cluster_size")
+      .as[(Long, Long, Boolean, Long)].collect().toSet
+    assert(out == Set((1L, 1L, true, 3L), (2L, 1L, false, 3L), (3L, 1L, false, 3L),
+      (4L, 4L, true, 1L), (5L, 5L, true, 2L), (6L, 5L, false, 2L)))
+    // the greedy pair rule (Curation) would KEEP doc 2 on this chain —
+    // cluster semantics drops it: assert the semantic difference is real
+    val greedyKept = Set(1L, 2L, 3L) --
+      pairs.select("id_b").as[Long].collect().toSet
+    assert(greedyKept == Set(1L))  // (2 survives greedy only when (1,2) absent)
+    val clusterKept = out.filter(_._3).map(_._1)
+    assert(clusterKept == Set(1L, 4L, 5L))
+  }
+
+  test("repetition metrics match hand computation incl. tie-break") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b c"),          // 5 words, 3 distinct; top bigram "a b" x2
+      (2L, "x y x y x y"),        // bigram "x y" x3; dup trigrams 2x"x y x"+2x"y x y"
+      (3L, "a b c d a b c d"),    // count-2 tie among "a b","b c","c d" -> "a b"
+      (4L, "solo")                // no bigrams at all
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(d, "doc_id", "text")
+      .select("doc_id", "n_words", "dup_word_frac", "top_bigram",
+        "top_bigram_frac", "dup_trigram_frac")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), Option(r.getString(3)), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out(1L) == ((5L, 1.0 - 3.0 / 5, Some("a b"), 2 * 3 / 9.0, 0.0)))
+    assert(out(2L) == ((6L, 1.0 - 2.0 / 6, Some("x y"), 3 * 3 / 11.0, (2 * 5 + 2 * 5) / 11.0)))
+    assert(out(3L) == ((8L, 1.0 - 4.0 / 8, Some("a b"), 2 * 3 / 15.0,
+      (2 * 5 + 2 * 5) / 15.0)))  // dup trigrams: 2x"a b c" + 2x"b c d"
+    assert(out(4L) == ((1L, 0.0, None, 0.0, 0.0)))
+  }
+
   test("connected components reproduce the fixture block correlation") {
     import spark.implicits._
     val grid = CellGrid.fixture
