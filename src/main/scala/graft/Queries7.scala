@@ -626,6 +626,34 @@ object Queries7 {
           round(col("top_bigram_frac"), 9).as("top_bigram_frac"),
           round(col("dup_trigram_frac"), 9).as("dup_trigram_frac"))
         .orderBy("doc_id")
+    }),
+
+    // -- URL canonicalization + URL-level dedup (the CCNet/RefinedWeb
+    //    first-stage dedup): five deterministic raw variants per canonical
+    //    target — uppercase scheme/host + www, default :443 port, tracking
+    //    params in shuffled order, trailing slash + fragment — must all
+    //    collapse to the same canonical URL; the oracle CONSTRUCTS that
+    //    canonical analytically (generating-arithmetic replica), so the
+    //    engine's real regex/array parse is what the gate checks. ---------
+    "url_canonical_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 100).as("k"), floor(col("doc_id") / lit(100)).as("v"))
+      val ks = col("k").cast("string")
+      val k5 = (col("k") % 5).cast("string"); val k7 = (col("k") % 7).cast("string")
+      val host = concat(lit("host"), k5, lit(".test"))
+      val hostUp = concat(lit("WWW.Host"), k5, lit(".TEST"))
+      val q = concat(lit("?b="), k7, lit("&a="), ks)
+      val qTrack = concat(lit("?utm_source=x&b="), k7,
+        lit("&utm_campaign=y&a="), ks, lit("&fbclid=z"))
+      val path = concat(lit("/p/"), ks)
+      val raw = when(col("v") === 0, concat(lit("https://"), host, path, q))
+        .when(col("v") === 1, concat(lit("HTTPS://"), hostUp, path, q))
+        .when(col("v") === 2, concat(lit("https://"), host, lit(":443"), path, q))
+        .when(col("v") === 3, concat(lit("https://"), host, path, qTrack))
+        .otherwise(concat(lit("https://"), host, path, lit("/"), q, lit("#frag")))
+      operators.UrlOps.urlDedup(d.select(col("doc_id"), raw.as("url")), "doc_id", "url")
+        .select(col("doc_id"), col("canonical_url"), col("keep"), col("dup_cnt"))
+        .orderBy("doc_id")
     }))
 
   // ==========================================================================
@@ -817,6 +845,21 @@ object Queries7 {
         |FROM ws LEFT JOIN top ON top.doc_id = ws.doc_id
         |LEFT JOIN dup ON dup.doc_id = ws.doc_id
         |ORDER BY ws.doc_id""".stripMargin,
+
+    // the canonical target is constructed analytically (sorted kept params
+    // a= then b=; host lowercased, www/:443/fragment/trailing-slash gone) —
+    // the engine's real parse must land exactly on it for all 5 variants
+    "url_canonical_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 100 AS k FROM documents),
+        |c AS (SELECT doc_id, k,
+        |    'https://host' || CAST(k % 5 AS VARCHAR) || '.test/p/' || CAST(k AS VARCHAR) ||
+        |    '?a=' || CAST(k AS VARCHAR) || '&b=' || CAST(k % 7 AS VARCHAR) AS canonical_url
+        |  FROM d),
+        |g AS (SELECT canonical_url, min(doc_id) AS rep, count(*) AS dup_cnt
+        |  FROM c GROUP BY 1)
+        |SELECT c.doc_id, c.canonical_url, c.doc_id = g.rep AS keep, g.dup_cnt
+        |FROM c JOIN g ON g.canonical_url = c.canonical_url
+        |ORDER BY c.doc_id""".stripMargin,
 
     // every dictionary branch recomputed: NATURE→(type,use), the height/
     // level rules (hauteur>0 → floor(h/3) levels; hauteur=0 → type default

@@ -220,6 +220,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(4L) == ((1L, 0.0, None, 0.0, 0.0)))
   }
 
+  test("url canonicalization: hand cases incl. ports, params, fragment") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTPS://WWW.Ex.COM:443/A/b/?z=1&utm_source=t&a=2#f", "https://ex.com/A/b?a=2&z=1"),
+      ("http://ex.com:80/", "http://ex.com/"),          // default port + root path
+      ("http://ex.com:8080/x", "http://ex.com:8080/x"), // non-default port kept
+      ("https://ex.com", "https://ex.com/"),            // empty path -> "/"
+      ("https://ex.com/p?ref=nav&fbclid=q", "https://ex.com/p"), // all params tracked
+      ("https://sub.www.ex.com/p", "https://sub.www.ex.com/p"))  // inner www kept
+    val out = cases.map(_._1).toDF("url")
+      .select(col("url"), UrlOps.canonicalize(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (raw, want) => assert(out(raw) == want, raw) }
+    val h = Seq("HTTPS://WWW.Ex.COM:443/A/b").toDF("url")
+      .select(UrlOps.hostOf(col("url"))).head().getString(0)
+    assert(h == "ex.com")
+  }
+
   test("connected components reproduce the fixture block correlation") {
     import spark.implicits._
     val grid = CellGrid.fixture
