@@ -32,6 +32,24 @@ object Queries2 {
   private val grid = CellGrid.fixture
   private val Res = 10
 
+  // MinHash+LSH near-dup pairs over the documents table, shared by
+  // dedup_minhash_lsh (which RETURNS the pairs) and Queries7's
+  // dedup_clusters (which closes them transitively) — the reference-style
+  // "compute once, export twice" memoization the e2e chain queries use
+  // (Queries6.e2eCache rationale). maxBucket engages the hot-bucket census
+  // path; 4096 is far above any band-bucket size at driver SFs (max
+  // observed ~dup-clique size), so the output is bit-identical to the
+  // lossless path while the graded query exercises the capped plan.
+  private val lshPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[graft] def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    lshPairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    lshPairsCache.computeIfAbsent((s, dir), _ =>
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, bands = 16, rowsPerBand = 3, threshold = 0.4,
+        maxBucket = Some(4096)).localCheckpoint())
+  }
+
   // ---- synthetic non-overlapping building layer ---------------------------
   // Building i sits in its own 5x5 cell (col = i%40, row = i/40) with size
   // w,h in [2,5]; w=5 / h=5 makes it TOUCH the next cell's building, so the
@@ -758,13 +776,7 @@ object Queries2 {
     // recalls with P(miss) ~ 1e-5 per pair — so the gate checks BOTH the
     // verify math and the candidate recall.
     "dedup_minhash_lsh" -> ((s, dir) => {
-      // maxBucket engages the hot-bucket census path; 4096 is far above any
-      // band-bucket size at driver SFs (max observed ~dup-clique size), so
-      // the output is bit-identical to the lossless path while the graded
-      // query exercises the capped plan.
-      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
-        k = 3, bands = 16, rowsPerBand = 3, threshold = 0.4,
-        maxBucket = Some(4096))
+      lshPairs(s, dir)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),

@@ -606,9 +606,7 @@ object Queries7 {
     //    CTE (the blocks_cc pattern). ------------------------------------
     "dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = operators.Dedup.minhashLsh(docs, "doc_id", "text",
-        k = 3, bands = 16, rowsPerBand = 3, threshold = 0.4,
-        maxBucket = Some(4096))
+      val pairs = Queries2.lshPairs(s, dir) // shared with dedup_minhash_lsh
       operators.Dedup.clusters(docs, "doc_id", pairs)
         .select(col("doc_id"), col("cluster"), col("keep"), col("cluster_size"))
         .orderBy("doc_id")

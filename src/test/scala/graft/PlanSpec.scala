@@ -103,6 +103,18 @@ class PlanSpec extends SparkTestBase {
     assert(partLines.forall(l => !l.contains("text#")), partLines.mkString("\n"))
   }
 
+  test("curation additions are equi-shaped: no cartesian, no text in a shuffle key") {
+    for (q <- Seq("dedup_clusters", "text_repetition", "url_canonical_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), q)
+      // the raw `text` column must never be a partitioning key — grams /
+      // ids / canonical urls are the only things that ride a shuffle
+      val parts = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+      assert(parts.nonEmpty, q)
+      assert(parts.forall(k => !k.contains("text#")), s"$q: ${parts.mkString("\n")}")
+    }
+  }
+
   test("blocks_cc: no single-partition exchange (stable component labels as ids)") {
     val p = plan("blocks_cc")
     assert(!p.contains("Exchange SinglePartition"), p.take(3000))
