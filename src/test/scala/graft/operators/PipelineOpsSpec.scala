@@ -238,6 +238,48 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(h == "ex.com")
   }
 
+  test("url canonicalize is idempotent on structured-random urls") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val urls = (0 until 200).map { _ =>
+      val scheme = Seq("http", "HTTP", "https", "HTTPS")(rnd.nextInt(4))
+      val www = if (rnd.nextBoolean()) "www." else ""
+      val host = s"$www${Seq("Ex", "site", "A-b")(rnd.nextInt(3))}${rnd.nextInt(9)}.tEsT"
+      val port = Seq("", ":80", ":443", ":8080")(rnd.nextInt(4))
+      val path = Seq("", "/", "/P/x", "/a/b/c/")(rnd.nextInt(4))
+      val params = (0 until rnd.nextInt(4)).map(_ =>
+        Seq("a=1", "z=9", "utm_source=t", "fbclid=q", "b=2")(rnd.nextInt(5)))
+      val q = if (params.isEmpty) "" else params.mkString("?", "&", "")
+      val frag = if (rnd.nextBoolean()) "#sec" else ""
+      s"$scheme://$host$port$path$q$frag"
+    }
+    val out = urls.toDF("url")
+      .select(UrlOps.canonicalize(col("url")).as("c1"))
+      .select(col("c1"), UrlOps.canonicalize(col("c1")).as("c2"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1), r.getString(0)))
+  }
+
+  test("dedup clusters match brute-force union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 120
+    val edges = (0 until 150).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // brute-force union-find
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    val d = (0L until n.toLong).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val got = Dedup.clusters(d, "doc_id", edges.toDF("id_a", "id_b"))
+      .select("doc_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("connected components reproduce the fixture block correlation") {
     import spark.implicits._
     val grid = CellGrid.fixture
