@@ -652,6 +652,18 @@ object Queries7 {
       operators.UrlOps.urlDedup(d.select(col("doc_id"), raw.as("url")), "doc_id", "url")
         .select(col("doc_id"), col("canonical_url"), col("keep"), col("dup_cnt"))
         .orderBy("doc_id")
+    }),
+
+    // -- deterministic per-stratum hash sampling (CCNet-style language
+    //    rebalancing): survivors = rows whose md5-prefix bucket falls under
+    //    the language's per-mille quota; pure filter, no shuffle, the same
+    //    rows survive in DuckDB (md5 arithmetic replicated exactly). ------
+    "sample_by_hash" -> ((s, dir) => {
+      operators.Curation.sampleByHash(t(s, dir, "documents"),
+          col("doc_id"), col("lang"),
+          Map("en" -> 900, "de" -> 500, "fr" -> 250), defaultPerMille = 100)
+        .select(col("doc_id"), col("lang"), col("sample_bucket"))
+        .orderBy("doc_id")
     }))
 
   // ==========================================================================
@@ -858,6 +870,18 @@ object Queries7 {
         |SELECT c.doc_id, c.canonical_url, c.doc_id = g.rep AS keep, g.dup_cnt
         |FROM c JOIN g ON g.canonical_url = c.canonical_url
         |ORDER BY c.doc_id""".stripMargin,
+
+    // bucket = 60-bit md5-prefix of the decimal id, mod 1000 (the engine's
+    // Dedup.md5WordHash arithmetic); per-language per-mille quotas
+    "sample_by_hash" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000 AS sample_bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, sample_bucket FROM b
+        |WHERE sample_bucket < (CASE lang WHEN 'en' THEN 900 WHEN 'de' THEN 500
+        |  WHEN 'fr' THEN 250 ELSE 100 END)
+        |ORDER BY doc_id""".stripMargin,
 
     // every dictionary branch recomputed: NATURE→(type,use), the height/
     // level rules (hauteur>0 → floor(h/3) levels; hauteur=0 → type default

@@ -39,4 +39,33 @@ object Curation {
         TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
       .where(col("lang_id") === lang && col("quality") >= minQuality)
   }
+
+  /**
+   * Deterministic per-stratum hash sampling — the corpus-rebalancing step
+   * (CCNet-style language quotas): a row survives iff its stable hash
+   * bucket falls under its stratum's per-mille rate. The hash is the
+   * md5-prefix uniform (Dedup.md5WordHash — 60 bits, DuckDB-replicable),
+   * so the SAME rows survive on every engine and every rerun — sampling is
+   * a pure filter, reproducible across pipeline versions.
+   *
+   * Scale: one codegen'd scan — no shuffle, no sort, no per-stratum
+   * count pass (the rate map is a tiny `typedLit` literal; exact-count
+   * quotas would need a global rank per stratum — this is the form that
+   * survives 10^12 rows). Unknown strata fall back to `defaultPerMille`.
+   *
+   * @param keyCol stable row key the bucket is derived from (e.g. the id
+   *               or canonical url — NOT the text, so near-identical docs
+   *               sample independently)
+   */
+  def sampleByHash(docs: DataFrame, keyCol: Column, strataCol: Column,
+                   ratesPerMille: Map[String, Int],
+                   defaultPerMille: Int): DataFrame = {
+    require((ratesPerMille.values ++ Seq(defaultPerMille)).forall(r => r >= 0 && r <= 1000),
+      "per-mille rates must be in [0, 1000]")
+    val bucket = pmod(Dedup.md5WordHash(keyCol.cast("string")), lit(1000L))
+    val rate = coalesce(
+      try_element_at(typedLit(ratesPerMille), strataCol.cast("string")),
+      lit(defaultPerMille))
+    docs.withColumn("sample_bucket", bucket).where(col("sample_bucket") < rate)
+  }
 }

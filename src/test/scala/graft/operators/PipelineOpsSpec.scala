@@ -280,6 +280,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("sampleByHash: brute-force md5 buckets, quota edges, unknown-stratum default") {
+    import spark.implicits._
+    val d = (0 until 300).map(i =>
+      (i.toLong, Seq("en", "fr", "xx")(i % 3))).toDF("doc_id", "lang")
+    val out = Curation.sampleByHash(d, col("doc_id"), col("lang"),
+        Map("en" -> 1000, "fr" -> 0), defaultPerMille = 300)
+      .select("doc_id", "lang", "sample_bucket")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def bucket(i: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(15), 16) % 1000
+    }
+    assert(out.forall { case (i, _, b) => b == bucket(i) })         // exact hash
+    assert(out.count(_._2 == "en") == 100)                          // rate 1000: all
+    assert(!out.exists(_._2 == "fr"))                               // rate 0: none
+    assert(out.filter(_._2 == "xx").forall(_._3 < 300))             // default quota
+    assert(out.map(_._1).toSet ==
+      (0 until 300).filter(i => Seq("en", "fr", "xx")(i % 3) match {
+        case "en" => true; case "fr" => false; case _ => bucket(i) < 300
+      }).map(_.toLong).toSet)
+  }
+
   test("connected components reproduce the fixture block correlation") {
     import spark.implicits._
     val grid = CellGrid.fixture
