@@ -145,6 +145,25 @@ object Queries4 {
       .withColumn("id_zone", lit(1)) // single zone: ids match the hand-derived oracle
   }
 
+  // The reference computes sprawlIndicators ONCE and writes the areas +
+  // distance tables of that single call together (WorkflowGeoIndicators.
+  // groovy:2447-2512) — sprawl_areas / sprawl_distances (here) and
+  // grid_sprawl_indicators (Queries6) are three EXPORTS of that one run:
+  // memoize it per session (fixture-driven, dir-independent), the same
+  // compute-once-export-N-times pattern as Queries6.e2eCache. Returns
+  // (grid with distance columns, sprawl layer).
+  private val sprawlRunCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (DataFrame, DataFrame)]()
+  private[graft] def sprawlRun(s: SparkSession): (DataFrame, DataFrame) = {
+    sprawlRunCache.keySet.removeIf(k => k.sparkContext.isStopped)
+    sprawlRunCache.computeIfAbsent(s, _ => {
+      val (gi, sprawl, _) = graft.workflow.WorkflowRunner.sprawlIndicators(
+        s, sprawlGrid(s), Seq("URBAN_SPRAWL_AREAS", "URBAN_SPRAWL_DISTANCES",
+          "URBAN_SPRAWL_COOL_DISTANCES"), 15.0, grid, Res)
+      (gi.localCheckpoint(), sprawl.get)
+    })
+  }
+
   // ---- exact-SVF scene: 4 RSU squares 100x100 at 120 spacing, 12 strictly
   // interior non-overlapping buildings each (rays DO cross into neighbour
   // RSUs — obstruction search is purely spatial, as in the reference).
@@ -178,9 +197,10 @@ object Queries4 {
         .orderBy("id_rsu")
     }),
 
-    // -- sprawl areas: urban-cell union + closing (erode/dilate) ----------
+    // -- sprawl areas: urban-cell union + closing (erode/dilate); an
+    //    EXPORT of the memoized sprawlIndicators run (sprawlRun) ----------
     "sprawl_areas" -> ((s, dir) => {
-      SpatialUnits.computeSprawlAreas(sprawlGrid(s), "id_zone", "lcz_primary", 15.0)
+      sprawlRun(s)._2
         .select(col("id"),
           round(G.stArea(col("the_geom")), 9).as("area"),
           round(G.stPerimeter(col("the_geom")), 9).as("perimeter"))
@@ -189,25 +209,10 @@ object Queries4 {
 
     // -- the full sprawl-distances chain (WorkflowGeoIndicators.groovy:
     //    2436-2530): in-sprawl distance, out-of-sprawl distance (via the
-    //    inverse layer), and distance to cool areas inside the sprawl. ----
+    //    inverse layer), and distance to cool areas inside the sprawl —
+    //    the distance-column export of the same memoized run -------------
     "sprawl_distances" -> ((s, dir) => {
-      val gi = sprawlGrid(s)
-      val cells = gi.select("id_grid", "the_geom")
-      val sprawl = SpatialUnits.computeSprawlAreas(gi, "id_zone", "lcz_primary", 15.0)
-        .localCheckpoint() // reused by 3 downstream branches
-      val indist = GridIndicators.gridDistances(sprawl.select("the_geom"), cells, grid, Res)
-        .withColumnRenamed("distance", "urban_sprawl_indist")
-      val inverse = SpatialUnits.inversePolygonsLayer(sprawl, "id_zone")
-      val outdist = GridIndicators.gridDistances(inverse.select("the_geom"), cells, grid, Res)
-        .withColumnRenamed("distance", "urban_sprawl_outdist")
-      val cool = SpatialUnits.extractCoolAreas(gi, "id_zone", "lcz_primary", sprawl, 7.5, grid, Res)
-      val invCool = SpatialUnits.inversePolygonsLayer(sprawl, "id_zone", cool, grid, Res)
-      val coolDist = GridIndicators.gridDistances(invCool.select("the_geom"), cells, grid, Res)
-        .withColumnRenamed("distance", "urban_sprawl_cool_indist")
-      gi.select("id_grid")
-        .join(indist, Seq("id_grid"), "left")
-        .join(outdist, Seq("id_grid"), "left")
-        .join(coolDist, Seq("id_grid"), "left")
+      sprawlRun(s)._1
         .select(col("id_grid"),
           round(col("urban_sprawl_indist"), 3).as("urban_sprawl_indist"),
           round(col("urban_sprawl_outdist"), 3).as("urban_sprawl_outdist"),

@@ -621,11 +621,11 @@ object Queries6 {
     }),
 
     // -- sprawlIndicators wiring (WorkflowGeoIndicators.groovy:2447-2512):
-    //    sprawl layer + in/out/cool distance columns joined onto the grid --
+    //    sprawl layer + in/out/cool distance columns joined onto the grid —
+    //    the grid-side export of Queries4's memoized sprawlRun (the
+    //    reference computes this ONCE and writes all three tables) --------
     "grid_sprawl_indicators" -> ((s, dir) => {
-      val (gi, _, _) = WorkflowRunner.sprawlIndicators(s, sprawlGrid(s),
-        Seq("URBAN_SPRAWL_AREAS", "URBAN_SPRAWL_DISTANCES",
-          "URBAN_SPRAWL_COOL_DISTANCES"), 15.0, grid, Res)
+      val gi = Queries4.sprawlRun(s)._1
       gi.select(col("id_grid"),
           round(col("urban_sprawl_indist"), 3).as("urban_sprawl_indist"),
           round(col("urban_sprawl_outdist"), 3).as("urban_sprawl_outdist"),
