@@ -654,6 +654,23 @@ object Queries7 {
         .orderBy("doc_id")
     }),
 
+    // -- benchmark decontamination (the GPT-3/PaLM n-gram-overlap rule):
+    //    a deterministic md5-bucket 2% of the corpus plays the benchmark,
+    //    the rest is the training side; a training doc is contaminated iff
+    //    it shares any word 4-gram with a benchmark doc (4 here — the
+    //    synthetic corpus' boilerplate overlap scale; real runs use the
+    //    published 13). Benchmark grams broadcast; train grams are
+    //    filtered map-side by a broadcast semi join. --------------------
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = pmod(operators.Dedup.md5WordHash(col("doc_id").cast("string")), lit(1000L))
+      val bench = docs.where(bucket < 20)
+      val train = docs.where(bucket >= 20)
+      operators.Curation.decontaminate(train, bench, "doc_id", "text", n = 4)
+        .select(col("doc_id"), col("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // -- deterministic per-stratum hash sampling (CCNet-style language
     //    rebalancing): survivors = rows whose md5-prefix bucket falls under
     //    the language's per-mille quota; pure filter, no shuffle, the same
@@ -870,6 +887,26 @@ object Queries7 {
         |SELECT c.doc_id, c.canonical_url, c.doc_id = g.rep AS keep, g.dup_cnt
         |FROM c JOIN g ON g.canonical_url = c.canonical_url
         |ORDER BY c.doc_id""".stripMargin,
+
+    // benchmark = md5-bucket < 20 of the corpus; contaminated = shares any
+    // word 4-gram with a benchmark doc (distinct-gram equi-join replica of
+    // the engine's broadcast semi join)
+    "text_decontaminate" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000 AS bkt FROM documents),
+        |bench AS (SELECT text FROM b WHERE bkt < 20),
+        |train AS (SELECT doc_id, text FROM b WHERE bkt >= 20),
+        |bt AS (SELECT string_split(text, ' ') AS w FROM bench),
+        |bg AS (SELECT DISTINCT array_to_string(w[g+1:g+4], ' ') AS gram
+        |  FROM (SELECT w, unnest(range(0, len(w)-3)) AS g FROM bt WHERE len(w) >= 4)),
+        |tt AS (SELECT doc_id, string_split(text, ' ') AS w FROM train),
+        |tg AS (SELECT DISTINCT doc_id, array_to_string(w[g+1:g+4], ' ') AS gram
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w)-3)) AS g FROM tt WHERE len(w) >= 4)),
+        |hits AS (SELECT DISTINCT doc_id FROM tg JOIN bg USING (gram))
+        |SELECT t.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+        |FROM train t LEFT JOIN hits h ON h.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // bucket = 60-bit md5-prefix of the decimal id, mod 1000 (the engine's
     // Dedup.md5WordHash arithmetic); per-language per-mille quotas

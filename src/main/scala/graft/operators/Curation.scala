@@ -41,6 +41,38 @@ object Curation {
   }
 
   /**
+   * Benchmark decontamination — the eval-set overlap filter every serious
+   * training corpus runs (the GPT-3 appendix-C / PaLM / Llama "13-gram
+   * overlap" rule): a training document is CONTAMINATED when it shares any
+   * word n-gram with the benchmark corpus. Returns the training rows with
+   * a `contaminated` boolean (the caller drops or quarantines).
+   *
+   * Scale: benchmark corpora are tiny (eval sets, ~MBs) next to the
+   * training corpus, so the benchmark's distinct gram set BROADCASTS; the
+   * training side explodes per-doc distinct (id, gram) rows that are
+   * filtered map-side by a broadcast LEFT SEMI join — the text never rides
+   * a shuffle and the grams die in the map stage; only the surviving
+   * contaminated-id set (≤ one row per training doc) aggregates, then a
+   * broadcast-able left join re-attaches the flag. Grams are built with
+   * shifted slices + zip_with (TextAnalysis.wordGrams — no interpreted-HOF
+   * O(n²) re-evaluation).
+   */
+  def decontaminate(train: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    require(n >= 1, "n-gram order must be >= 1")
+    def grams(df: DataFrame, cols: Column*) = df.select(cols :+
+      explode(array_distinct(TextAnalysis.wordGrams(
+        split(col(textCol), " ", -1), n))).as("__gram"): _*)
+    val benchGrams = grams(benchmark).select("__gram").distinct()
+    val hits = grams(train, col(idCol))
+      .join(broadcast(benchGrams), Seq("__gram"), "left_semi")
+      .select(idCol).distinct()
+      .withColumn("contaminated", lit(true))
+    train.join(hits, Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+  }
+
+  /**
    * Deterministic per-stratum hash sampling — the corpus-rebalancing step
    * (CCNet-style language quotas): a row survives iff its stable hash
    * bucket falls under its stratum's per-mille rate. The hash is the

@@ -77,7 +77,7 @@ object TextAnalysis {
   /** Word n-grams as strings from shifted slices + zip_with — NEVER
     * element_at inside a lambda (interpreted HOFs re-evaluate the source
     * array per access: O(n²) per document, see Dedup.shingles). */
-  private def wordGrams(wordsCol: Column, n: Int): Column = {
+  private[operators] def wordGrams(wordsCol: Column, n: Int): Column = {
     val m = greatest(size(wordsCol) - n + 1, lit(0)) // number of windows
     val parts = (0 until n).map(j => slice(wordsCol, lit(j + 1), m))
     parts.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))

@@ -104,7 +104,8 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("curation additions are equi-shaped: no cartesian, no text in a shuffle key") {
-    for (q <- Seq("dedup_clusters", "text_repetition", "url_canonical_dedup")) {
+    for (q <- Seq("dedup_clusters", "text_repetition", "url_canonical_dedup",
+        "text_decontaminate")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), q)
       // the raw `text` column must never be a partitioning key — grams /
@@ -113,6 +114,11 @@ class PlanSpec extends SparkTestBase {
       assert(parts.nonEmpty, q)
       assert(parts.forall(k => !k.contains("text#")), s"$q: ${parts.mkString("\n")}")
     }
+    // decontaminate: the benchmark gram set must reach the train side as a
+    // BROADCAST semi join (grams filtered map-side, no gram shuffle)
+    val pDec = plan("text_decontaminate")
+    assert(pDec.contains("BroadcastHashJoin") && pDec.contains("LeftSemi"),
+      pDec.take(3000))
   }
 
   test("blocks_cc: no single-partition exchange (stable component labels as ids)") {

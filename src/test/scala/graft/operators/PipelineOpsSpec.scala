@@ -280,6 +280,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("decontaminate: brute-force n-gram overlap, short-doc and no-overlap edges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    def doc(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // lengths straddle n=3: 0..2 words -> no grams -> never contaminated
+    val train = (0L until 80L).map(i => (i, doc(rnd.nextInt(8))))
+    val bench = (0 until 6).map(_ => doc(6)) :+ "zz zz zz" // one alien doc
+    def grams(t: String) =
+      t.split(" ", -1).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val bg = bench.flatMap(grams).toSet
+    val want = train.map { case (i, t) => i -> grams(t).exists(bg) }.toMap
+    val got = Curation.decontaminate(
+        train.toDF("doc_id", "text"), bench.map(Tuple1(_)).toDF("text"),
+        "doc_id", "text", n = 3)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(got == want)
+    assert(got.values.exists(identity) && got.values.exists(!_)) // both classes hit
+    assert(train.filter(_._2.split(" ", -1).length < 3)
+      .forall { case (i, _) => !got(i) }) // short docs can never be contaminated
+  }
+
   test("sampleByHash: brute-force md5 buckets, quota edges, unknown-stratum default") {
     import spark.implicits._
     val d = (0 until 300).map(i =>
