@@ -681,6 +681,55 @@ object Queries7 {
           Map("en" -> 900, "de" -> 500, "fr" -> 250), defaultPerMille = 100)
         .select(col("doc_id"), col("lang"), col("sample_bucket"))
         .orderBy("doc_id")
+    }),
+
+    // -- line-level boilerplate removal (RefinedWeb/CCNet): the synthetic
+    //    corpus has no newlines, so each doc's "lines" are an injected nav
+    //    header (every doc), its 6-word positional chunks, and an injected
+    //    footer (every third doc); lines in >= 50 distinct docs are
+    //    boilerplate. Both engines compute df from the SAME strings, so any
+    //    natural chunk repeat resolves identically; order-preserving
+    //    reassembly is what the gate checks. --------------------------------
+    "text_line_dedup" -> ((s, dir) => {
+      val staged = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+      val nChunks = ceil(size(col("w")) / lit(6.0)).cast("int")
+      val chunks = transform(sequence(lit(0), nChunks - lit(1)),
+        c => array_join(slice(col("w"), c * 6 + 1, lit(6)), " "))
+      val lines = concat(
+        array(lit("site nav home about contact")), chunks,
+        when(col("doc_id") % 3 === 0,
+            array(lit("copyright footer all rights reserved")))
+          .otherwise(array().cast("array<string>")))
+      val withLines = staged.select(col("doc_id"), lines.as("lines"))
+      operators.Curation.removeBoilerplateLines(withLines, "doc_id", "lines",
+          minDf = 50, joiner = "\n")
+        .select(col("doc_id"), col("n_lines"), col("n_removed"), col("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // -- PII redaction: deterministic email/IPv4/phone injections around a
+    //    real-text prefix (vocab words only — no accidental matches), incl.
+    //    a trailing-period email edge and non-PII digits ("port 80"); the
+    //    oracle CONSTRUCTS the redacted text analytically, so the engine's
+    //    real regex pass is what the gate checks. ---------------------------
+    "pii_redact" -> ((s, dir) => {
+      val k = col("doc_id")
+      val staged = t(s, dir, "documents").select(k,
+        array_join(slice(split(col("text"), " ", -1), 1, 8), " ").as("rest"))
+      val email = concat(lit("user"), k.cast("string"),
+        lit("@mail"), (k % 7).cast("string"), lit(".com"))
+      val ip = concat(lit("10."), (k % 256).cast("string"),
+        lit(".0."), ((k * 7) % 256).cast("string"))
+      val phone = concat(lit("+33-555-"), format_string("%04d", k % 10000))
+      val raw = when(k % 4 === 0, concat(lit("contact "), email, lit(". then "), col("rest")))
+        .when(k % 4 === 1, concat(lit("server "), ip, lit(" port 80 "), col("rest")))
+        .when(k % 4 === 2, concat(lit("call "), phone, lit(" or "), email, lit(" "), col("rest")))
+        .otherwise(col("rest"))
+      operators.Pii.redactDocs(staged.select(k, raw.as("text")), "doc_id", "text")
+        .select(col("doc_id"), col("redacted"),
+          col("n_emails"), col("n_ips"), col("n_phones"))
+        .orderBy("doc_id")
     }))
 
   // ==========================================================================
@@ -919,6 +968,48 @@ object Queries7 {
         |WHERE sample_bucket < (CASE lang WHEN 'en' THEN 900 WHEN 'de' THEN 500
         |  WHEN 'fr' THEN 250 ELSE 100 END)
         |ORDER BY doc_id""".stripMargin,
+
+    // line set replicated (header + 6-word chunks + every-3rd footer); df
+    // computed on the line STRINGS (the engine's (xxhash64, length) digest
+    // pair stands in for them — Dedup.exact collision argument); survivors
+    // re-joined in position order
+    "text_line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ln AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+        |    'site nav home about contact' AS line FROM w
+        |  UNION ALL
+        |  SELECT doc_id, c + 1, array_to_string(w[c*6+1:c*6+6], ' ')
+        |  FROM (SELECT doc_id, w,
+        |    unnest(range(0, CAST(ceil(len(w)/6.0) AS BIGINT))) AS c FROM w)
+        |  UNION ALL
+        |  SELECT doc_id, 1000000, 'copyright footer all rights reserved'
+        |  FROM w WHERE doc_id % 3 = 0),
+        |df AS (SELECT line, count(DISTINCT doc_id) AS df FROM ln GROUP BY 1),
+        |j AS (SELECT l.doc_id, l.pos, l.line, df.df
+        |  FROM ln l JOIN df ON df.line = l.line)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  count(*) FILTER (WHERE df >= 50) AS n_removed,
+        |  coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE df < 50),
+        |    '') AS clean_text
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // redacted text constructed analytically per variant (the engine runs
+    // the real regexes on the raw injected text); counts = placeholders per
+    // category
+    "pii_redact" ->
+      """WITH c AS (SELECT doc_id, doc_id % 4 AS v,
+        |    array_to_string(string_split(text, ' ')[1:8], ' ') AS rest
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE v WHEN 0 THEN 'contact <EMAIL>. then ' || rest
+        |         WHEN 1 THEN 'server <IP> port 80 ' || rest
+        |         WHEN 2 THEN 'call <PHONE> or <EMAIL> ' || rest
+        |         ELSE rest END AS redacted,
+        |  CAST(CASE WHEN v IN (0, 2) THEN 1 ELSE 0 END AS BIGINT) AS n_emails,
+        |  CAST(CASE WHEN v = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_ips,
+        |  CAST(CASE WHEN v = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_phones
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // every dictionary branch recomputed: NATURE→(type,use), the height/
     // level rules (hauteur>0 → floor(h/3) levels; hauteur=0 → type default

@@ -73,6 +73,51 @@ object Curation {
   }
 
   /**
+   * Line-level boilerplate removal — the RefinedWeb/CCNet stage that strips
+   * lines repeated across the corpus (cookie banners, nav bars, copyright
+   * footers) while preserving every document's remaining line ORDER. A line
+   * is boilerplate iff it occurs in >= `minDf` distinct documents; the
+   * output keeps the survivors re-joined with `joiner` plus the per-doc
+   * removal counts a quality dashboard wants.
+   *
+   * Scale shape: the exploded rows carry (id, pos, xxhash64(line),
+   * length(line)) — fixed width, the line BYTES never ride a shuffle (the
+   * Dedup.exact digest argument: a cross-doc collision needs xxhash64 AND
+   * length to agree, negligible below corpus scale and only ever merges df
+   * counts upward). Document frequency is a distinct+count on that digest
+   * pair; the boilerplate digest set joins back LEFT SEMI on (hash, len) —
+   * ids+positions only — and reassembly is one positional array `filter`
+   * over the doc's own lines (no element_at into a lambda-built array).
+   * Nothing here funnels: every stage is an equi-shuffle on fixed-width
+   * keys, and a viral boilerplate line's df row is ONE row however many
+   * billions of pages carry it.
+   *
+   * @param linesCol array<string> column of the document's lines, in order
+   *                 (callers segment — by '\n' for real pages, positionally
+   *                 for unsegmented text)
+   */
+  def removeBoilerplateLines(docs: DataFrame, idCol: String, linesCol: String,
+                             minDf: Long, joiner: String = "\n"): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would remove every line of every document")
+    val ex = docs
+      .select(col(idCol), posexplode(col(linesCol)).as(Seq("__pos", "__line")))
+      .select(col(idCol), col("__pos"),
+        xxhash64(col("__line")).as("__h"), length(col("__line")).as("__len"))
+    val boiler = ex.select(col(idCol), col("__h"), col("__len")).distinct()
+      .groupBy("__h", "__len").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDf).select("__h", "__len")
+    val removed = ex.join(boiler, Seq("__h", "__len"), "left_semi")
+      .groupBy(idCol).agg(collect_list(col("__pos")).as("__rm"))
+    docs.join(removed, Seq(idCol), "left")
+      .withColumn("__rm", coalesce(col("__rm"), array().cast("array<int>")))
+      .select(col(idCol),
+        size(col(linesCol)).cast("long").as("n_lines"),
+        size(col("__rm")).cast("long").as("n_removed"),
+        array_join(filter(col(linesCol),
+          (_, i) => !array_contains(col("__rm"), i)), joiner).as("clean_text"))
+  }
+
+  /**
    * Deterministic per-stratum hash sampling — the corpus-rebalancing step
    * (CCNet-style language quotas): a row survives iff its stable hash
    * bucket falls under its stratum's per-mille rate. The hash is the

@@ -325,6 +325,59 @@ class PipelineOpsSpec extends SparkTestBase {
       }).map(_.toLong).toSet)
   }
 
+  test("removeBoilerplateLines: brute-force df, order preservation, all-removed doc") {
+    import spark.implicits._
+    // 40 docs: every doc gets the shared "banner"; docs 0..19 also share
+    // "footer"; each doc has 3 unique lines; doc 7 repeats one of ITS OWN
+    // lines twice (within-doc repeats must not count toward df); doc 39 is
+    // banner+footer only (everything removed -> clean_text = "")
+    val rows = (0 until 40).map { i =>
+      val uniq = if (i == 39) Seq.empty
+        else Seq(s"alpha $i", s"beta $i", s"gamma $i") ++
+          (if (i == 7) Seq(s"beta $i") else Seq.empty)
+      val lines = Seq("banner") ++ uniq.take(2) ++
+        (if (i < 20 || i == 39) Seq("footer") else Seq.empty) ++ uniq.drop(2)
+      (i.toLong, lines)
+    }
+    val dfCount = rows.flatMap { case (_, ls) => ls.distinct }
+      .groupBy(identity).map { case (l, o) => l -> o.size }
+    val want = rows.map { case (i, ls) =>
+      val kept = ls.filter(l => dfCount(l) < 15)
+      i -> ((ls.size.toLong, (ls.size - kept.size).toLong, kept.mkString("\n")))
+    }.toMap
+    val got = Curation.removeBoilerplateLines(
+        rows.toDF("doc_id", "lines"), "doc_id", "lines", minDf = 15)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == want)
+    assert(got(39L) == ((2L, 2L, "")))                 // fully boilerplate doc
+    assert(got(7L)._1 == 6L && got(7L)._3.count(_ == '\n') == 3) // own repeat kept
+    assert(got(25L) == ((4L, 1L, "alpha 25\nbeta 25\ngamma 25"))) // order intact
+  }
+
+  test("Pii.redactDocs: staged email/ip/phone redaction with count semantics") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "mail a@b.io and c.d+x@e-f.org now"),          // two emails
+      (1L, "10.0.0.1 leads and ends 255.255.255.255"),    // ips at both ends
+      (2L, "dial +1-555-0100 or +358-401-1234567"),       // 2nd: 7 trailing digits
+      (3L, "no pii here just port 80 and 1.2 frac"),      // digits, not PII
+      (4L, "edge a@b.co. then 1.2.3.4.5 run"),            // trailing dot; 5 octets
+      (5L, "")).toDF("doc_id", "text")
+    val got = Pii.redactDocs(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(4), r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(0L) == (("mail <EMAIL> and <EMAIL> now", 2L, 0L, 0L)))
+    assert(got(1L) == (("<IP> leads and ends <IP>", 0L, 2L, 0L)))
+    // +358-401-1234567: \d{4} takes the first 4 of the 7 trailing digits
+    assert(got(2L) == (("dial <PHONE> or <PHONE>567", 0L, 0L, 2L)))
+    assert(got(3L) == (("no pii here just port 80 and 1.2 frac", 0L, 0L, 0L)))
+    // a@b.co matches up to .co (trailing '.' kept); the ip regex takes the
+    // first four octets of "1.2.3.4.5" and leaves ".5"
+    assert(got(4L) == (("edge <EMAIL>. then <IP>.5 run", 1L, 1L, 0L)))
+    assert(got(5L) == (("", 0L, 0L, 0L)))
+  }
+
   test("connected components reproduce the fixture block correlation") {
     import spark.implicits._
     val grid = CellGrid.fixture
