@@ -730,6 +730,41 @@ object Queries7 {
         .select(col("doc_id"), col("redacted"),
           col("n_emails"), col("n_ips"), col("n_phones"))
         .orderBy("doc_id")
+    }),
+
+    // -- Gopher quality rules over structured text: 6-word lines, every 5th
+    //    doc bullet-prefixed (fails bullet + alpha rules), every 7th
+    //    ellipsis-suffixed (fails ellipsis + symbol rules); word-count and
+    //    stopword rules vary naturally (10-99 words, 'the/of/to' in vocab).
+    //    Thresholds tuned so every rule fires on SOME doc; both engines run
+    //    their regex/arithmetic on the SAME constructed string. -------------
+    "gopher_quality" -> ((s, dir) => {
+      val w = split(col("text"), " ", -1)
+      val nChunks = ceil(size(w) / lit(6.0)).cast("int")
+      val chunks = transform(sequence(lit(0), nChunks - lit(1)),
+        c => array_join(slice(w, c * 6 + 1, lit(6)), " "))
+      val bulleted = when(col("doc_id") % 5 === 0,
+        transform(chunks, l => concat(lit("- "), l))).otherwise(chunks)
+      val dotted = when(col("doc_id") % 7 === 0,
+        transform(bulleted, l => concat(l, lit("...")))).otherwise(bulleted)
+      val staged = t(s, dir, "documents")
+        .select(col("doc_id"), array_join(dotted, "\n").as("text2"))
+      operators.Curation.gopherQuality(staged, "doc_id", "text2",
+          minWords = 20, maxWords = 80, minMeanWordLen = 3.5, maxMeanWordLen = 4.75,
+          maxSymbolRatio = 0.05, maxBulletFrac = 0.5, maxEllipsisFrac = 0.3,
+          minAlphaWordFrac = 0.9, minStopwordHits = 1)
+        .orderBy("doc_id")
+    }),
+
+    // -- sequence packing: language shards, 512-token bins; token_start is
+    //    the exclusive within-shard cumsum (keyed window), bins by integer
+    //    div — a doc straddling a bin boundary gets bin_first < bin_last. --
+    "seq_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        operators.TextAnalysis.tokenCount(col("text")).as("n_toks"))
+      operators.Curation.packSequences(docs, "doc_id", col("n_toks"),
+          col("lang"), capacity = 512)
+        .orderBy("doc_id")
     }))
 
   // ==========================================================================
@@ -1009,6 +1044,67 @@ object Queries7 {
         |  CAST(CASE WHEN v IN (0, 2) THEN 1 ELSE 0 END AS BIGINT) AS n_emails,
         |  CAST(CASE WHEN v = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_ips,
         |  CAST(CASE WHEN v = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_phones
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // same constructed string (6-word lines, %5 bullets, %7 ellipses), then
+    // DuckDB's RE2 runs the same patterns Java does (literal escapes + \b
+    // only — identical semantics); ratio flags compare identical exact-int
+    // IEEE divisions, so booleans agree bit-for-bit
+    "gopher_quality" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ln AS (SELECT doc_id, c,
+        |    (CASE WHEN doc_id % 5 = 0 THEN '- ' ELSE '' END) ||
+        |    array_to_string(w[c*6+1:c*6+6], ' ') ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '...' ELSE '' END) AS line
+        |  FROM (SELECT doc_id, w,
+        |    unnest(range(0, CAST(ceil(len(w)/6.0) AS BIGINT))) AS c FROM w)),
+        |d AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY c) AS t
+        |  FROM ln GROUP BY doc_id),
+        |m AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(t, '[ \n]')) AS BIGINT) AS nw,
+        |  CAST(len(string_split(t, chr(10))) AS BIGINT) AS nl,
+        |  CAST(len(regexp_replace(t, '[ \n]', '', 'g')) AS BIGINT) AS wc,
+        |  CAST(len(regexp_extract_all(t, '#|\.\.\.')) AS BIGINT) AS sym,
+        |  CAST(len(regexp_extract_all(t, '(^|\n)[-*•] ')) AS BIGINT) AS bul,
+        |  CAST(len(regexp_extract_all(t, '\.\.\.(\n|$)')) AS BIGINT) AS ell,
+        |  CAST(len(list_filter(string_split_regex(t, '[ \n]'),
+        |    x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b(the|be|to|of|and|that|have|with)\b')) AS BIGINT) AS stop
+        |  FROM d)
+        |SELECT doc_id, nw AS n_words,
+        |  round(CAST(wc AS DOUBLE) / nw, 6) AS mean_word_len,
+        |  nw >= 20 AND nw <= 80 AS pass_word_count,
+        |  CAST(wc AS DOUBLE) / nw >= 3.5 AND CAST(wc AS DOUBLE) / nw <= 4.75
+        |    AS pass_mean_word_len,
+        |  CAST(sym AS DOUBLE) / nw <= 0.05 AS pass_symbol_ratio,
+        |  CAST(bul AS DOUBLE) / nl <= 0.5 AS pass_bullet_lines,
+        |  CAST(ell AS DOUBLE) / nl <= 0.3 AS pass_ellipsis_lines,
+        |  CAST(alpha AS DOUBLE) / nw >= 0.9 AS pass_alpha_words,
+        |  stop >= 1 AS pass_stopwords,
+        |  (nw >= 20 AND nw <= 80) AND
+        |  (CAST(wc AS DOUBLE) / nw >= 3.5 AND CAST(wc AS DOUBLE) / nw <= 4.75) AND
+        |  (CAST(sym AS DOUBLE) / nw <= 0.05) AND
+        |  (CAST(bul AS DOUBLE) / nl <= 0.5) AND
+        |  (CAST(ell AS DOUBLE) / nl <= 0.3) AND
+        |  (CAST(alpha AS DOUBLE) / nw >= 0.9) AND (stop >= 1) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // exclusive within-shard cumsum (sum over BIGINT -> HUGEINT, cast
+    // back); integer division/modulo only — exact at any scale
+    "seq_pack" ->
+      """WITH d AS (SELECT doc_id, lang AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS token_start
+        |  FROM d)
+        |SELECT doc_id, shard, n_tokens, token_start,
+        |  token_start // 512 AS bin_first,
+        |  (token_start + greatest(n_tokens, 1) - 1) // 512 AS bin_last,
+        |  token_start % 512 AS offset_in_bin
         |FROM c ORDER BY doc_id""".stripMargin,
 
     // every dictionary branch recomputed: NATURE→(type,use), the height/

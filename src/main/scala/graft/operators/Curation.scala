@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -115,6 +116,97 @@ object Curation {
         size(col("__rm")).cast("long").as("n_removed"),
         array_join(filter(col(linesCol),
           (_, i) => !array_contains(col("__rm"), i)), joiner).as("clean_text"))
+  }
+
+  /**
+   * Gopher-style repetition-free quality rules (the Rae et al. 2021
+   * appendix-A1 document filter, the rule family C4/Dolma/FineWeb reuse):
+   * per-document boolean flags for each rule plus the combined verdict, so
+   * a pipeline can either hard-filter on `gopher_pass` or audit which rule
+   * fires where. Thresholds default to the published values and are all
+   * parameters (real deployments tune per corpus).
+   *
+   * Rules: word count in [minWords, maxWords]; mean word length (non-space
+   * chars / words) in [minMeanWordLen, maxMeanWordLen]; symbol-to-word
+   * ratio ('#' or '...') <= maxSymbolRatio; fraction of lines starting
+   * with a bullet ('-', '*', '•' + space) <= maxBulletFrac; fraction of
+   * lines ending in '...' <= maxEllipsisFrac; fraction of words containing
+   * an alphabetic character >= minAlphaWordFrac; and at least
+   * `minStopwordHits` occurrences of the 8 required English stopwords.
+   *
+   * Scale: two stacked codegen'd projections on one scan — counts first
+   * (regexp_count passes plus one O(words) array filter), flags second
+   * (so each count is an attribute, not a re-embedded tree). No UDF, no
+   * shuffle, no aggregation; a 10^12-row corpus stays in one map stage.
+   * Words split on space/newline; lines on newline.
+   */
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String,
+                    minWords: Long = 50, maxWords: Long = 100000,
+                    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                    maxSymbolRatio: Double = 0.1,
+                    maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+                    minAlphaWordFrac: Double = 0.8,
+                    minStopwordHits: Long = 2): DataFrame = {
+    val t = col(textCol)
+    val words = split(t, "[ \n]", -1)
+    val counts = docs.select(col(idCol),
+      size(words).cast("long").as("__nw"),
+      size(split(t, "\n", -1)).cast("long").as("__nl"),
+      length(regexp_replace(t, "[ \n]", "")).cast("long").as("__wc"),
+      regexp_count(t, lit("#|\\.\\.\\.")).cast("long").as("__sym"),
+      regexp_count(t, lit("(^|\n)[-*•] ")).cast("long").as("__bul"),
+      regexp_count(t, lit("\\.\\.\\.(\n|$)")).cast("long").as("__ell"),
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long").as("__alpha"),
+      regexp_count(t, lit("\\b(the|be|to|of|and|that|have|with)\\b"))
+        .cast("long").as("__stop"))
+    val nw = col("__nw").cast("double")
+    val nl = col("__nl").cast("double")
+    val mean = col("__wc").cast("double") / nw
+    counts.select(col(idCol),
+        col("__nw").as("n_words"),
+        round(mean, 6).as("mean_word_len"),
+        (col("__nw") >= minWords && col("__nw") <= maxWords).as("pass_word_count"),
+        (mean >= minMeanWordLen && mean <= maxMeanWordLen).as("pass_mean_word_len"),
+        (col("__sym").cast("double") / nw <= maxSymbolRatio).as("pass_symbol_ratio"),
+        (col("__bul").cast("double") / nl <= maxBulletFrac).as("pass_bullet_lines"),
+        (col("__ell").cast("double") / nl <= maxEllipsisFrac).as("pass_ellipsis_lines"),
+        (col("__alpha").cast("double") / nw >= minAlphaWordFrac).as("pass_alpha_words"),
+        (col("__stop") >= minStopwordHits).as("pass_stopwords"))
+      .withColumn("gopher_pass",
+        col("pass_word_count") && col("pass_mean_word_len") &&
+        col("pass_symbol_ratio") && col("pass_bullet_lines") &&
+        col("pass_ellipsis_lines") && col("pass_alpha_words") &&
+        col("pass_stopwords"))
+  }
+
+  /**
+   * Sequence packing for training prep — the step that concatenates a
+   * shard's documents in a stable order and cuts the token stream at
+   * context-length boundaries. For each document: its exclusive cumulative
+   * token offset within the shard (`token_start`), the first and last
+   * `capacity`-token bin its tokens land in (a document may straddle bins —
+   * exactly how context-window packing behaves), and its offset inside the
+   * first bin. Deterministic: same corpus → same packing, every rerun.
+   *
+   * Scale: ONE keyed window (partitionBy shard, orderBy id) — the cumsum
+   * distributes across shards, and callers choose shard granularity
+   * (language × source × dump-date at corpus scale: thousands of shards,
+   * each bounded) so no task sees more than a shard. Integer arithmetic
+   * throughout (`div`/`pmod`), no doubles to disagree at 10^15 tokens.
+   */
+  def packSequences(docs: DataFrame, idCol: String, tokensCol: Column,
+                    shardCol: Column, capacity: Long): DataFrame = {
+    require(capacity >= 1, "bin capacity must be >= 1 token")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), shardCol.as("shard"), tokensCol.cast("long").as("n_tokens"))
+      .withColumn("token_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("shard"), col("n_tokens"), col("token_start"),
+        expr(s"token_start div ${capacity}L").as("bin_first"),
+        expr(s"(token_start + greatest(n_tokens, 1L) - 1L) div ${capacity}L")
+          .as("bin_last"),
+        pmod(col("token_start"), lit(capacity)).as("offset_in_bin"))
   }
 
   /**

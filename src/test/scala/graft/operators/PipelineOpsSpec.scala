@@ -378,6 +378,68 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(5L) == (("", 0L, 0L, 0L)))
   }
 
+  test("gopherQuality: brute-force rules on adversarial docs") {
+    import spark.implicits._
+    val texts = Seq(
+      0L -> "the cat sat on of the mat with a rug and that hat have fun be it to go",
+      1L -> "- item one two\n- item two three\nplain line here\n- item three four",
+      2L -> "truncated thing...\nanother cut...\nfull line stays here",
+      3L -> "# # # hash of the marks # everywhere # now",
+      4L -> "hello",
+      5L -> "12 34 56 the numbers 78 90 of here",
+      6L -> "nostops only exotic vocabulary words appear herein")
+    // brute-force replica of every rule with Java regexes
+    def cnt(t: String, p: String) = p.r.findAllMatchIn(t).size.toLong
+    val want = texts.map { case (i, t) =>
+      val words = t.split("[ \n]", -1); val lines = t.split("\n", -1)
+      val nw = words.length.toLong; val nl = lines.length.toLong
+      val wc = t.replaceAll("[ \n]", "").length.toLong
+      val mean = wc.toDouble / nw
+      val flags = (
+        nw >= 4 && nw <= 100,
+        mean >= 2.0 && mean <= 6.0,
+        cnt(t, "#|\\.\\.\\.") .toDouble / nw <= 0.1,
+        cnt(t, "(^|\n)[-*•] ").toDouble / nl <= 0.5,
+        cnt(t, "\\.\\.\\.(\n|$)").toDouble / nl <= 0.3,
+        words.count(_.exists(_.isLetter)).toDouble / nw >= 0.8,
+        cnt(t, "\\b(the|be|to|of|and|that|have|with)\\b") >= 2)
+      i -> ((nw, BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        flags, flags.productIterator.forall(_ == true)))
+    }.toMap
+    val got = Curation.gopherQuality(texts.toDF("doc_id", "text"), "doc_id", "text",
+        minWords = 4, maxWords = 100, minMeanWordLen = 2.0, maxMeanWordLen = 6.0,
+        maxSymbolRatio = 0.1, maxBulletFrac = 0.5, maxEllipsisFrac = 0.3,
+        minAlphaWordFrac = 0.8, minStopwordHits = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        (r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6),
+         r.getBoolean(7), r.getBoolean(8), r.getBoolean(9)), r.getBoolean(10))))
+      .toMap
+    assert(got == want)
+    assert(got(0L)._4)                       // clean doc passes everything
+    assert(!got(1L)._3._4 && !got(2L)._3._5) // bullet / ellipsis rules fire
+    assert(!got(3L)._3._3 && !got(4L)._3._1) // symbol ratio, word count
+    assert(!got(5L)._3._6 && !got(6L)._3._7) // alpha fraction, stopwords
+  }
+
+  test("packSequences: per-shard cumsum, bin straddling, zero-token guard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A", 3L), (2L, "A", 5L), (3L, "A", 4L), (4L, "A", 0L),
+      (10L, "B", 9L), (11L, "B", 1L)).toDF("doc_id", "shard", "n_toks")
+    val got = Curation.packSequences(docs, "doc_id", col("n_toks"), col("shard"),
+        capacity = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // (shard, n_tokens, token_start, bin_first, bin_last, offset_in_bin)
+    assert(got(1L) == (("A", 3L, 0L, 0L, 0L, 0L)))
+    assert(got(2L) == (("A", 5L, 3L, 0L, 1L, 3L)))  // straddles bins 0->1
+    assert(got(3L) == (("A", 4L, 8L, 2L, 2L, 0L)))
+    assert(got(4L) == (("A", 0L, 12L, 3L, 3L, 0L))) // empty doc: one bin
+    assert(got(10L) == (("B", 9L, 0L, 0L, 2L, 0L))) // shard B independent
+    assert(got(11L) == (("B", 1L, 9L, 2L, 2L, 1L)))
+  }
+
   test("connected components reproduce the fixture block correlation") {
     import spark.implicits._
     val grid = CellGrid.fixture
