@@ -756,6 +756,27 @@ object Queries7 {
         .orderBy("doc_id")
     }),
 
+    // -- repeated-span removal (Lee et al. substring dedup): a 10-word
+    //    "slogan" suffix on every 4th doc and a second 10-word prefix on
+    //    every 6th (dfs 125/84 >= 50); 8-gram windows inside a slogan repeat
+    //    corpus-wide, boundary grams are per-doc unique, so exactly the
+    //    slogan words are cut. Both engines compute df on the SAME strings,
+    //    so any natural repeat resolves identically. -----------------------
+    "dedup_spans" -> ((s, dir) => {
+      val slogan = "subscribe to our newsletter for updates delivered fresh daily now"
+      val slogan2 = "all content on this site is licensed for personal use"
+      val staged = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 12 === 0,
+            concat(lit(slogan2 + " "), col("text"), lit(" " + slogan)))
+          .when(col("doc_id") % 4 === 0, concat(col("text"), lit(" " + slogan)))
+          .when(col("doc_id") % 6 === 0, concat(lit(slogan2 + " "), col("text")))
+          .otherwise(col("text")).as("text2"))
+      operators.Dedup.removeRepeatedSpans(staged, "doc_id", "text2",
+          n = 8, minDf = 50)
+        .select(col("doc_id"), col("n_words"), col("n_removed"), col("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     // -- sequence packing: language shards, 512-token bins; token_start is
     //    the exclusive within-shard cumsum (keyed window), bins by integer
     //    div — a doc straddling a bin boundary gets bin_first < bin_last. --
@@ -1089,6 +1110,35 @@ object Queries7 {
         |  (CAST(ell AS DOUBLE) / nl <= 0.3) AND
         |  (CAST(alpha AS DOUBLE) / nw >= 0.9) AND (stop >= 1) AS gopher_pass
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // same slogan injection; df on the gram STRINGS (the engine's
+    // (xxhash64, length) digest stands in — Dedup.exact collision
+    // argument); covered positions via an 8-row offset cross join;
+    // survivors re-joined in position order
+    "dedup_spans" ->
+      """WITH raw AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 12 = 0 THEN 'all content on this site is licensed for personal use ' || text || ' subscribe to our newsletter for updates delivered fresh daily now'
+        |    WHEN doc_id % 4 = 0 THEN text || ' subscribe to our newsletter for updates delivered fresh daily now'
+        |    WHEN doc_id % 6 = 0 THEN 'all content on this site is licensed for personal use ' || text
+        |    ELSE text END AS t FROM documents),
+        |w AS (SELECT doc_id, string_split(t, ' ') AS w FROM raw),
+        |g AS (SELECT doc_id, p, array_to_string(w[p+1:p+8], ' ') AS gram
+        |  FROM (SELECT doc_id, w,
+        |    unnest(range(0, greatest(len(w) - 7, 0))) AS p FROM w)),
+        |rep AS (SELECT gram FROM
+        |  (SELECT gram, count(DISTINCT doc_id) AS c FROM g GROUP BY 1)
+        |  WHERE c >= 50),
+        |cov AS (SELECT DISTINCT h.doc_id, h.p + o.u AS pos
+        |  FROM (SELECT doc_id, p FROM g JOIN rep USING (gram)) h,
+        |       (SELECT unnest(range(0, 8)) AS u) o),
+        |wp AS (SELECT doc_id, p, w[p+1] AS word
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS p FROM w))
+        |SELECT wp.doc_id, count(*) AS n_words,
+        |  count(cov.pos) AS n_removed,
+        |  coalesce(string_agg(word, ' ' ORDER BY p) FILTER (WHERE cov.pos IS NULL),
+        |    '') AS clean_text
+        |FROM wp LEFT JOIN cov ON cov.doc_id = wp.doc_id AND cov.pos = wp.p
+        |GROUP BY wp.doc_id ORDER BY wp.doc_id""".stripMargin,
 
     // exclusive within-shard cumsum (sum over BIGINT -> HUGEINT, cast
     // back); integer division/modulo only — exact at any scale

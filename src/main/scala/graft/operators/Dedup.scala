@@ -272,6 +272,51 @@ object Dedup {
   }
 
   /**
+   * Cross-document repeated-SPAN removal — the substring-level dedup of
+   * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+   * Better"), word-granular: any word covered by an n-gram window that
+   * occurs in >= `minDf` distinct documents is cut, and the survivors are
+   * re-joined in order. A repeated span of length >= n words shares ALL its
+   * n-gram windows, so the whole span is removed from every carrier —
+   * memorized boilerplate passages, license blocks, syndicated paragraphs —
+   * while the documents' unique text survives (unlike document-level dedup,
+   * which keeps or drops whole pages).
+   *
+   * Scale shape (the removeBoilerplateLines argument at n-gram granularity):
+   * exploded rows carry (id, start, xxhash64(gram), length(gram)) — fixed
+   * width, gram BYTES never ride a shuffle; document frequency is a
+   * distinct+count on the digest pair (a viral passage is ONE df row
+   * however many billions of pages quote it); hits come back by LEFT SEMI
+   * on the digest; covered positions explode n rows per hit (bounded by
+   * n × doc length), dedupe, and mask the doc's own word array with one
+   * positional filter. Every stage is an equi-shuffle on fixed-width keys.
+   */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, minDf: Long): DataFrame = {
+    require(n >= 2, "span window must be >= 2 words")
+    require(minDf >= 2, "minDf < 2 would cut every word of every document")
+    val base = docs.select(col(idCol), split(col(textCol), " ", -1).as("__w"))
+    val grams = base.select(col(idCol),
+        posexplode(TextAnalysis.wordGrams(col("__w"), n)).as(Seq("__p", "__g")))
+      .select(col(idCol), col("__p"),
+        xxhash64(col("__g")).as("__h"), length(col("__g")).as("__len"))
+    val repeated = grams.select(col(idCol), col("__h"), col("__len")).distinct()
+      .groupBy("__h", "__len").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDf).select("__h", "__len")
+    val covered = grams.join(repeated, Seq("__h", "__len"), "left_semi")
+      .select(col(idCol), explode(sequence(col("__p"), col("__p") + (n - 1))).as("__pos"))
+      .distinct()
+      .groupBy(idCol).agg(collect_list(col("__pos")).as("__rm"))
+    base.join(covered, Seq(idCol), "left")
+      .withColumn("__rm", coalesce(col("__rm"), array().cast("array<int>")))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_words"),
+        size(col("__rm")).cast("long").as("n_removed"),
+        array_join(filter(col("__w"),
+          (_, i) => !array_contains(col("__rm"), i)), " ").as("clean_text"))
+  }
+
+  /**
    * Transitive near-dup clustering + canonical-survivor selection — the
    * cluster-level dedup semantics of large corpus pipelines: near-dup PAIRS
    * (from [[minhashLsh]] / [[simhashPairs]] / [[ngramJaccardPairs]] /

@@ -105,7 +105,7 @@ class PlanSpec extends SparkTestBase {
 
   test("curation additions are equi-shaped: no cartesian, no text in a shuffle key") {
     for (q <- Seq("dedup_clusters", "text_repetition", "url_canonical_dedup",
-        "text_decontaminate", "text_line_dedup", "seq_pack")) {
+        "text_decontaminate", "text_line_dedup", "seq_pack", "dedup_spans")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), q)
       // the raw `text` column must never be a partitioning key — grams /

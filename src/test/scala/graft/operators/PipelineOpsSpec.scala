@@ -378,6 +378,42 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(5L) == (("", 0L, 0L, 0L)))
   }
 
+  test("removeRepeatedSpans: brute-force coverage, mid-doc span, short doc, own-repeat") {
+    import spark.implicits._
+    val texts: Seq[(Long, String)] =
+      (0L until 5L).map(i => i -> s"common span words here u$i v$i") ++ Seq(
+        5L -> "short hi",                              // shorter than the window
+        6L -> "x y common span words here z",          // span mid-document
+        7L -> "own rep gram own rep gram tail",        // repeats only within itself
+        8L -> "totally unique text block one",
+        9L -> "another unique text block two")
+    val n = 3; val minDf = 3
+    // brute-force replica: df over distinct (doc, gram), covered = union of
+    // repeated windows, survivors joined in order
+    val docGrams = texts.map { case (i, t) =>
+      val ws = t.split(" ", -1).toSeq
+      i -> ws.sliding(n).zipWithIndex.filter(_._1.size == n).toSeq
+    }.toMap
+    val df = docGrams.values.flatMap(_.map(_._1.mkString(" ")).distinct)
+      .groupBy(identity).map { case (g, o) => g -> o.size }
+    val want = texts.map { case (i, t) =>
+      val ws = t.split(" ", -1).toSeq
+      val cov = docGrams(i).filter(g => df(g._1.mkString(" ")) >= minDf)
+        .flatMap { case (_, p) => p until p + n }.toSet
+      val kept = ws.zipWithIndex.collect { case (w, j) if !cov(j) => w }
+      i -> ((ws.size.toLong, cov.size.toLong, kept.mkString(" ")))
+    }.toMap
+    val got = Dedup.removeRepeatedSpans(
+        texts.toDF("doc_id", "text"), "doc_id", "text", n = n, minDf = minDf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == want)
+    assert(got(0L) == ((6L, 4L, "u0 v0")))            // prefix span cut
+    assert(got(6L) == ((7L, 4L, "x y z")))            // mid-doc span cut
+    assert(got(5L) == ((2L, 0L, "short hi")))         // short doc untouched
+    assert(got(7L)._2 == 0L)                          // own repeat: df=1, kept
+  }
+
   test("gopherQuality: brute-force rules on adversarial docs") {
     import spark.implicits._
     val texts = Seq(
