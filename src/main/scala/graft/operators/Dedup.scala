@@ -63,6 +63,14 @@ object Dedup {
    * MinHash signature of the shingle set: minhash_i = min over shingles of
    * h_i(s) where h_i(s) = (a_i * s + b_i) mod p (64-bit arithmetic,
    * deterministic seeds). Returns ArrayType(Long) of length `numHashes`.
+   *
+   * The `numHashes` interpreted `aggregate` HOFs are NOT the LSH hot spot:
+   * an A/B against a fused single-pass loop UDF (identical arithmetic)
+   * measured 1.35 s vs 1.10 s for 200k docs × 48 hashes at local[32] —
+   * interpreter overhead is hidden by the cores, so the pure-Catalyst form
+   * stays (no UDF in the path). The LSH stage's actual scale hazard is the
+   * uncapped hot band-bucket join (see [[minhashLsh]]'s `maxBucket`:
+   * 201 s → 17 s on the same corpus, identical output pairs).
    */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
     // 31-bit Mersenne prime field: pmod(s,P) < 2^31 and a < 2^31 keep the
