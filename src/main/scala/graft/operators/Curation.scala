@@ -21,16 +21,22 @@ import org.apache.spark.sql.functions._
  */
 object Curation {
 
+  /** @param maxBucket LSH hot-bucket census cap, passed through to
+    *   [[Dedup.minhashLsh]] — at corpus scale this is load-bearing
+    *   (CorpusProbe measured 201 s uncapped vs 19 s at cap 64 with
+    *   identical output pairs on a boilerplate-heavy 200k-doc corpus);
+    *   None = lossless recall (fixture/oracle default). */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              lang: String, minQuality: Double,
              k: Int = 3, bands: Int = 16, rowsPerBand: Int = 3,
-             jaccardThreshold: Double = 0.4): DataFrame = {
+             jaccardThreshold: Double = 0.4,
+             maxBucket: Option[Int] = None): DataFrame = {
     // 1. exact dedup -> representative ids
     val reps = docs.join(
       Dedup.exact(docs, idCol, textCol).select(idCol), Seq(idCol))
     // 2. near-dup pairs among representatives; drop the larger id of each
     val near = Dedup.minhashLsh(reps, idCol, textCol, k, bands, rowsPerBand,
-      jaccardThreshold)
+      jaccardThreshold, maxBucket)
     val dropIds = near.select(col("id_b").as(idCol)).distinct()
     val kept = reps.join(dropIds, Seq(idCol), "left_anti")
     // 3. language + quality gate
