@@ -777,6 +777,18 @@ object Queries7 {
         .orderBy("doc_id")
     }),
 
+    // -- BM25 keyword ranking (the lexical side of the similarity-search
+    //    family): three vocab terms, scored postings for every matching doc
+    //    (ordered by doc_id, score rounded 6 — no rank instability rides
+    //    the compare; ln is the only libm op). ------------------------------
+    "bm25_rank" -> ((s, dir) => {
+      operators.Bm25.score(t(s, dir, "documents"), "doc_id", "text",
+          Seq("table", "spark", "join"))
+        .select(col("doc_id"), col("n_terms_hit"), col("doc_len"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+
     // -- sequence packing: language shards, 512-token bins; token_start is
     //    the exclusive within-shard cumsum (keyed window), bins by integer
     //    div — a doc straddling a bin boundary gets bin_first < bin_last. --
@@ -1139,6 +1151,31 @@ object Queries7 {
         |    '') AS clean_text
         |FROM wp LEFT JOIN cov ON cov.doc_id = wp.doc_id AND cov.pos = wp.p
         |GROUP BY wp.doc_id ORDER BY wp.doc_id""".stripMargin,
+
+    // the BM25 arithmetic mirrored token for token (same IEEE op order;
+    // Scala-computed constants emitted as the same source expressions:
+    // (1.2 + 1.0), 0.25 = 1.0-b exact, 0.75); ln is libm -> round 6
+    "bm25_rank" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        |  list_filter(w, x -> x IN ('table', 'spark', 'join')) AS hits FROM w),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(dl) AS BIGINT) AS sl FROM base),
+        |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(hits) AS t FROM base
+        |        WHERE len(hits) > 0)
+        |  GROUP BY doc_id, dl, t),
+        |df AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+        |sc AS (SELECT tf.doc_id, tf.dl,
+        |    ln((CAST(s.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |      * tf.tf * (1.2 + 1.0)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
+        |          / (CAST(s.sl AS DOUBLE) / CAST(s.n AS DOUBLE))))) AS sterm
+        |  FROM tf JOIN df USING (t), s)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+        |  CAST(min(dl) AS BIGINT) AS doc_len,
+        |  round(sum(sterm), 6) AS score
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // exclusive within-shard cumsum (sum over BIGINT -> HUGEINT, cast
     // back); integer division/modulo only — exact at any scale

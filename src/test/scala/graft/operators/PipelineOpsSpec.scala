@@ -414,6 +414,40 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(7L)._2 == 0L)                          // own repeat: df=1, kept
   }
 
+  test("Bm25: brute-force scoring, no-hit docs dropped, topK order") {
+    import spark.implicits._
+    val texts = Map(
+      0L -> "cat dog cat fish", 1L -> "dog dog dog", 2L -> "bird tree sun",
+      3L -> "cat", 4L -> "fish cat fish dog fish fish")
+    val q = Seq("cat", "fish")
+    val lens = texts.map { case (i, t) => i -> t.split(" ").length }
+    val n = texts.size.toDouble
+    val avgdl = lens.values.sum / n
+    val dfm = q.map(t => t -> texts.values.count(_.split(" ").contains(t))).toMap
+    def sOne(i: Long, t: String): Double = {
+      val f = texts(i).split(" ").count(_ == t).toDouble
+      if (f == 0) 0.0
+      else math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0) * f * 2.2 /
+        (f + 1.2 * (0.25 + 0.75 * (lens(i) / avgdl)))
+    }
+    val want = texts.keys.filter(i => q.exists(t => sOne(i, t) > 0)).map { i =>
+      i -> ((q.count(t => sOne(i, t) > 0).toLong, lens(i).toLong,
+        q.map(t => sOne(i, t)).sum))
+    }.toMap
+    val got = Bm25.score(texts.toSeq.toDF("doc_id", "text"), "doc_id", "text", q)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == want.keySet && !got.contains(2L) && !got.contains(1L))
+    for ((i, (hits, dl, sc)) <- want) {
+      assert(got(i)._1 == hits && got(i)._2 == dl, i)
+      assert(math.abs(got(i)._3 - sc) < 1e-9, s"$i: ${got(i)._3} vs $sc")
+    }
+    // doc 4 (3x fish + cat) outranks doc 0 (2x cat + fish) outranks doc 3
+    val top = Bm25.topK(texts.toSeq.toDF("doc_id", "text"), "doc_id", "text", q, 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(4L, 0L), top)
+  }
+
   test("gopherQuality: brute-force rules on adversarial docs") {
     import spark.implicits._
     val texts = Seq(
