@@ -777,6 +777,21 @@ object Queries7 {
         .orderBy("doc_id")
     }),
 
+    // -- CCNet-style LM perplexity: bigram model trained in-engine on the
+    //    English slice, every doc scored (cross-lingual docs land in the
+    //    high-perplexity tail); one COALESCE formula covers seen / unseen-
+    //    bigram / unseen-unigram; ln+exp are the libm boundary -> round 6. --
+    "lm_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = operators.LangModel.trainBigram(
+        docs.where(col("lang") === "en"), "text")
+      operators.LangModel.perplexity(docs, "doc_id", "text", lm, k = 0.5)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logp"), 6).as("avg_logp"),
+          round(col("perplexity"), 6).as("perplexity"))
+        .orderBy("doc_id")
+    }),
+
     // -- BM25 keyword ranking (the lexical side of the similarity-search
     //    family): three vocab terms, scored postings for every matching doc
     //    (ordered by doc_id, score rounded 6 — no rank instability rides
@@ -1151,6 +1166,34 @@ object Queries7 {
         |    '') AS clean_text
         |FROM wp LEFT JOIN cov ON cov.doc_id = wp.doc_id AND cov.pos = wp.p
         |GROUP BY wp.doc_id ORDER BY wp.doc_id""".stripMargin,
+
+    // train counts rebuilt on the gram STRINGS (the engine's digest join
+    // stands in — Dedup.exact collision argument); identical smoothing
+    // formula and IEEE op order; sum order rides round 6
+    "lm_perplexity" ->
+      """WITH alltok AS (SELECT doc_id, string_split(text, ' ') AS w, lang
+        |  FROM documents),
+        |tr AS (SELECT w FROM alltok WHERE lang = 'en'),
+        |bi AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM (
+        |    SELECT w[p+1] || ' ' || w[p+2] AS g
+        |    FROM (SELECT w, unnest(range(0, greatest(len(w) - 1, 0))) AS p
+        |          FROM tr)) GROUP BY g),
+        |uni AS (SELECT u, CAST(count(*) AS BIGINT) AS c1 FROM (
+        |    SELECT unnest(w) AS u FROM tr) GROUP BY u),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |dg AS (SELECT doc_id, w[p+1] || ' ' || w[p+2] AS g, w[p+1] AS w1
+        |  FROM (SELECT doc_id, w, unnest(range(0, greatest(len(w) - 1, 0))) AS p
+        |        FROM alltok)),
+        |lp AS (SELECT dg.doc_id,
+        |    ln((CAST(coalesce(bi.c2, 0) AS DOUBLE) + 0.5) /
+        |       (CAST(coalesce(uni.c1, 0) AS DOUBLE) + 0.5 * CAST(v.v AS DOUBLE)))
+        |      AS lp
+        |  FROM dg LEFT JOIN bi ON bi.g = dg.g
+        |          LEFT JOIN uni ON uni.u = dg.w1, v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(sum(lp) / CAST(count(*) AS DOUBLE), 6) AS avg_logp,
+        |  round(exp(-(sum(lp) / CAST(count(*) AS DOUBLE))), 6) AS perplexity
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the BM25 arithmetic mirrored token for token (same IEEE op order;
     // Scala-computed constants emitted as the same source expressions:

@@ -414,6 +414,44 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(7L)._2 == 0L)                          // own repeat: df=1, kept
   }
 
+  test("LangModel: brute-force bigram perplexity incl. unseen words") {
+    import spark.implicits._
+    val train = Seq("the cat sat", "the cat ran", "a dog ran")
+    val score = Map(
+      0L -> "the cat sat",        // all bigrams seen
+      1L -> "the cat flew home",  // unseen bigrams, seen + unseen unigrams
+      2L -> "zz qq")              // nothing seen: every P = k/(kV) = 1/V
+    // brute force
+    def bigs(t: String) = t.split(" ").sliding(2).filter(_.length == 2)
+      .map(_.mkString(" ")).toSeq
+    val c2 = train.flatMap(bigs).groupBy(identity).map { case (g, o) => g -> o.size }
+    val c1 = train.flatMap(_.split(" ")).groupBy(identity).map { case (w, o) => w -> o.size }
+    val v = c1.size.toDouble; val k = 0.5
+    val want = score.map { case (i, t) =>
+      val lps = bigs(t).map { g =>
+        val w1 = g.split(" ")(0)
+        math.log((c2.getOrElse(g, 0) + k) / (c1.getOrElse(w1, 0) + k * v))
+      }
+      val avg = lps.sum / lps.size
+      i -> ((lps.size.toLong, avg, math.exp(-avg)))
+    }
+    val lm = LangModel.trainBigram(train.toDF("text"), "text")
+    val got = LangModel.perplexity(score.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text", lm, k = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    for ((i, (nb, avg, ppl)) <- want) {
+      assert(got(i)._1 == nb, i)
+      assert(math.abs(got(i)._2 - avg) < 1e-9, s"$i avg")
+      assert(math.abs(got(i)._3 - ppl) < 1e-9, s"$i ppl")
+    }
+    // the fully-unseen doc scores exactly ln(1/V) per bigram
+    assert(math.abs(want(2L)._2 - math.log(1.0 / v)) < 1e-12)
+    // seen text is less perplexing than unseen
+    assert(got(0L)._3 < got(1L)._3 && got(1L)._3 < got(2L)._3)
+  }
+
   test("Bm25: brute-force scoring, no-hit docs dropped, topK order") {
     import spark.implicits._
     val texts = Map(
