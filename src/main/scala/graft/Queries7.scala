@@ -777,6 +777,24 @@ object Queries7 {
         .orderBy("doc_id")
     }),
 
+    // -- PQ + ADC approximate nearest neighbors (the ANN memory-scale
+    //    path): 4 subspaces × 16 codes seeded from the first 16 vectors,
+    //    L2 encode via the dot-expansion, ADC scan over codes only. Fully
+    //    deterministic -> replicated exactly in DuckDB (same IEEE order;
+    //    identical doubles, so rank ties can't diverge). ---------------------
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id").isin(1L, 7L, 42L, 99L, 123L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cb = operators.Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 4, codes = 16)
+      val enc = operators.Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      operators.Similarity.pqTopK(enc, "vec_id", queries, cb, k = 10)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"),
+          round(col("sim"), 6).as("adc"))
+        .orderBy("qid", "rank")
+    }),
+
     // -- CCNet-style LM perplexity: bigram model trained in-engine on the
     //    English slice, every doc scored (cross-lingual docs land in the
     //    high-perplexity tail); one COALESCE formula covers seen / unseen-
@@ -1166,6 +1184,45 @@ object Queries7 {
         |    '') AS clean_text
         |FROM wp LEFT JOIN cov ON cov.doc_id = wp.doc_id AND cov.pos = wp.p
         |GROUP BY wp.doc_id ORDER BY wp.doc_id""".stripMargin,
+
+    // full PQ replication: codebooks = sliced first-16 vectors (vec_id is
+    // dense from 0, so code == vec_id), argmin L2 via the identical
+    // dot-expansion with (d ASC, code) ties, ADC = list_reduce over the
+    // per-subspace dot terms in ascending-j order (the engine's loop)
+    "ann_pq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |js AS (SELECT unnest(range(0, 4)) AS j),
+        |cb AS (SELECT j, vec_id AS code,
+        |    v[CAST(j*16+1 AS INTEGER) : CAST(j*16+16 AS INTEGER)] AS cv
+        |  FROM e CROSS JOIN js WHERE vec_id < 16),
+        |sub AS (SELECT vec_id, j,
+        |    v[CAST(j*16+1 AS INTEGER) : CAST(j*16+16 AS INTEGER)] AS sv
+        |  FROM e CROSS JOIN js),
+        |enc0 AS (SELECT s.vec_id, s.j, cb.code,
+        |    list_dot_product(s.sv, s.sv) - 2*list_dot_product(s.sv, cb.cv)
+        |      + list_dot_product(cb.cv, cb.cv) AS d
+        |  FROM sub s JOIN cb ON cb.j = s.j),
+        |enc AS (SELECT vec_id, j, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+        |      ORDER BY d ASC, code) rn FROM enc0) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e
+        |  WHERE vec_id IN (1, 7, 42, 99, 123)),
+        |qsub AS (SELECT qid, j,
+        |    qv[CAST(j*16+1 AS INTEGER) : CAST(j*16+16 AS INTEGER)] AS qsv
+        |  FROM q CROSS JOIN js),
+        |terms AS (SELECT qs.qid, en.vec_id, en.j,
+        |    list_dot_product(qs.qsv, cb.cv) AS t
+        |  FROM enc en JOIN cb ON cb.j = en.j AND cb.code = en.code
+        |  JOIN qsub qs ON qs.j = en.j),
+        |adc AS (SELECT qid, vec_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY j)),
+        |      (a, b) -> a + b) AS adc
+        |  FROM terms WHERE vec_id <> qid GROUP BY qid, vec_id)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
+        |  round(adc, 6) AS adc FROM (
+        |  SELECT qid, vec_id, adc, row_number() OVER (PARTITION BY qid
+        |    ORDER BY adc DESC, vec_id) AS rank FROM adc)
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     // train counts rebuilt on the gram STRINGS (the engine's digest join
     // stands in — Dedup.exact collision argument); identical smoothing

@@ -349,4 +349,118 @@ object Similarity {
       }.toDF("qid", "vec_id", "sim")
     finalRank(partials, k).select(col("qid"), col("rank"), col("vec_id"), col("sim"))
   }
+
+  // ---- product quantization (the ANN memory-scale path) --------------------
+
+  /**
+   * PQ codebooks: `m` subspaces of `dim/m` dims, `codes` centroids per
+   * subspace, seeded from the first `codes` vectors by id (the
+   * [[seedCentroids]] rule — deterministic, no RNG). Returned as a model
+   * table (subspace, code, cvec) of m·codes rows.
+   *
+   * Why PQ: at 10^12 embeddings the float vectors are ~0.25 PB — they can't
+   * ride candidate scans. Encoded, each vector is `m` small ints; the ADC
+   * scan touches original vectors never.
+   */
+  def pqCodebooks(data: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, m: Int, codes: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    seedCentroids(data, idCol, vecCol, codes)
+      .select(col("centroid_id").as("code"),
+        explode(sequence(lit(0), lit(m - 1))).as("subspace"), col("cvec"))
+      .select(col("subspace"), col("code"),
+        slice(col("cvec"), col("subspace") * sub + 1, lit(sub)).as("cvec"))
+  }
+
+  private def collectCodebooks(cb: DataFrame): Array[Array[Array[Float]]] = {
+    val spark = cb.sparkSession
+    import spark.implicits._
+    val rows = cb.select(col("subspace").cast("int"), col("code").cast("int"),
+      col("cvec")).as[(Int, Int, Array[Float])].collect() // model-bounded
+    val out = Array.ofDim[Array[Float]](rows.map(_._1).max + 1, rows.map(_._2).max + 1)
+    rows.foreach { case (j, c, v) => out(j)(c) = v }
+    out
+  }
+
+  /**
+   * PQ encoding: each vector becomes `m` codes — per subspace the argmin
+   * squared-L2 centroid, computed as dot(x,x) − 2·dot(x,c) + dot(c,c) (the
+   * expansion the DuckDB oracle evaluates in the identical IEEE order);
+   * ties keep the LOWEST code (strict < compare). Map-side over broadcast
+   * codebooks — zero shuffle; the output carries (id, codes) only.
+   */
+  def pqEncode(data: DataFrame, idCol: String, vecCol: String,
+               cb: DataFrame): DataFrame = {
+    val spark = data.sparkSession
+    val bc = spark.sparkContext.broadcast(collectCodebooks(cb))
+    val enc = udf { (v: Seq[Float]) =>
+      val b = bc.value; val va = v.toArray
+      val m = b.length; val sub = va.length / m
+      val out = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        val xs = java.util.Arrays.copyOfRange(va, j * sub, (j + 1) * sub)
+        val dxx = dotP(xs, xs)
+        var best = -1; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < b(j).length) {
+          val d = dxx - 2.0 * dotP(xs, b(j)(c)) + dotP(b(j)(c), b(j)(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(j) = best; j += 1
+      }
+      out
+    }
+    data.select(col(idCol), enc(col(vecCol)).as("codes"))
+  }
+
+  /**
+   * ADC (asymmetric distance computation) top-k over PQ codes: per query an
+   * m×codes lookup table of subvector dot products is built ONCE on the
+   * driver (model-sized); every encoded row then costs m table lookups +
+   * adds — the original vectors are never touched by the scan. Same
+   * partial-heap pass and exact final rank as the brute-force/IVF paths;
+   * `sim` is the ADC approximation of dot(q, x), accumulated in ascending
+   * subspace order (the oracle's list_reduce order).
+   */
+  def pqTopK(encoded: DataFrame, idCol: String, queries: DataFrame,
+             cb: DataFrame, k: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val books = collectCodebooks(cb)
+    val qs = queries.select(col("qid").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])].collect() // queries are a model: broadcast
+    val tables = qs.map { case (qid, qv) =>
+      val m = books.length; val sub = qv.length / m
+      (qid, Array.tabulate(m) { j =>
+        val qsv = java.util.Arrays.copyOfRange(qv, j * sub, (j + 1) * sub)
+        books(j).map(cv => dotP(qsv, cv))
+      })
+    }
+    val bc = spark.sparkContext.broadcast(tables)
+    val partials = encoded.select(col(idCol).cast("long"), col("codes"))
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val ts = bc.value
+        val heaps = scala.collection.mutable.LongMap.empty[TopKBuf]
+        it.foreach { case (id, codes) =>
+          var qi = 0
+          while (qi < ts.length) {
+            val (qid, t) = ts(qi)
+            if (qid != id) {
+              var s = 0.0; var j = 0
+              while (j < codes.length) { s += t(j)(codes(j)); j += 1 }
+              heaps.getOrElseUpdate(qid, new TopKBuf(k)).add(id, s)
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.drain.map { case (id, s) => (qid, id, s) }
+        }
+      }.toDF("qid", "vec_id", "sim")
+    finalRank(partials, k)
+  }
 }

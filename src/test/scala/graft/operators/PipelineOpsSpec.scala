@@ -414,6 +414,54 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(7L)._2 == 0L)                          // own repeat: df=1, kept
   }
 
+  test("PQ: brute-force encode (argmin L2, low-code ties) and ADC scores") {
+    import spark.implicits._
+    // 8 vectors in 4 dims, m=2 subspaces of 2 dims; codebooks seed from the
+    // first 4 ids; vector 5 ties exactly between codes 0 and 1 in subspace 0
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      0L -> Array(1f, 0f, 0f, 1f), 1L -> Array(0f, 1f, 1f, 0f),
+      2L -> Array(1f, 1f, 0f, 0f), 3L -> Array(0f, 0f, 1f, 1f),
+      4L -> Array(1f, 0.1f, 0f, 0.9f), 5L -> Array(0.5f, 0.5f, 1f, 1f),
+      6L -> Array(0f, 0.9f, 1f, 0.2f), 7L -> Array(0.9f, 0.9f, 0.1f, 0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(df, "vec_id", "embedding", dim = 4, m = 2, codes = 4)
+    // brute-force codebooks + encode
+    val books = (0 until 2).map(j => (0 until 4).map(c =>
+      vecs(c)._2.slice(j * 2, j * 2 + 2)))
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      def dt(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      dt(a, a) - 2.0 * dt(a, b) + dt(b, b)
+    }
+    val wantCodes = vecs.map { case (i, v) =>
+      i -> (0 until 2).map { j =>
+        val xs = v.slice(j * 2, j * 2 + 2)
+        books(j).zipWithIndex.minBy { case (c, ci) => (d2(xs, c), ci) }._2
+      }.toArray
+    }.toMap
+    val enc = Similarity.pqEncode(df, "vec_id", "embedding", cb)
+    val gotCodes = enc.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    assert(gotCodes.keySet == wantCodes.keySet)
+    for ((i, c) <- wantCodes) assert(gotCodes(i).sameElements(c), s"vec $i")
+    // the exact-tie vector keeps the LOWEST code
+    assert(gotCodes(5L)(0) == math.min(gotCodes(5L)(0), 1))
+    // ADC scores match the brute-force table sum; top-1 of an easy query is
+    // its near-duplicate (recall sanity)
+    val queries = Seq((0L, vecs(0)._2)).toDF("qid", "qvec")
+    val got = Similarity.pqTopK(enc, "vec_id", queries, cb, k = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    def dt(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+    val wantAdc = vecs.filter(_._1 != 0L).map { case (i, _) =>
+      i -> (0 until 2).map(j =>
+        dt(vecs(0)._2.slice(j * 2, j * 2 + 2), books(j)(wantCodes(i)(j)).toArray)).sum
+    }.toMap
+    for ((_, _, id, adc) <- got)
+      assert(math.abs(adc - wantAdc(id)) < 1e-12, s"vec $id")
+    assert(got.head._3 == 4L, got.toSeq) // near-dup of vec 0 ranks first
+  }
+
   test("LangModel: brute-force bigram perplexity incl. unseen words") {
     import spark.implicits._
     val train = Seq("the cat sat", "the cat ran", "a dog ran")
