@@ -59,16 +59,18 @@ object LangModel {
   def perplexity(docs: DataFrame, idCol: String, textCol: String,
                  lm: BigramLm, k: Double = 0.5): DataFrame = {
     require(k > 0, "additive smoothing constant must be positive")
+    // both digests (the gram's and its LEFT word's) are derived MAP-SIDE in
+    // the scan projection, so the gram strings die before any shuffle
+    val w1 = substring_index(col("__g"), " ", 1)
     val grams = docs
       .select(col(idCol), explode(TextAnalysis.wordGrams(words(col(textCol)), 2)).as("__g"))
-      .select(col(idCol), col("__g"),
-        xxhash64(col("__g")).as("__h"), length(col("__g")).as("__len"))
-    // the bigram's LEFT word, digested for the unigram join
-    val w1 = substring_index(col("__g"), " ", 1)
+      .select(col(idCol),
+        xxhash64(col("__g")).as("__h"), length(col("__g")).as("__len"),
+        xxhash64(w1).as("__h1"), length(w1).as("__len1"))
     val joined = grams
       .join(lm.bigrams, Seq("__h", "__len"), "left")
       .select(col(idCol), coalesce(col("__c2"), lit(0L)).as("__c2"),
-        xxhash64(w1).as("__h"), length(w1).as("__len"))
+        col("__h1").as("__h"), col("__len1").as("__len"))
       .join(lm.unigrams, Seq("__h", "__len"), "left")
       .select(col(idCol), col("__c2"), coalesce(col("__c1"), lit(0L)).as("__c1"))
       .crossJoin(broadcast(lm.vocab))

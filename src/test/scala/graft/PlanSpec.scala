@@ -121,6 +121,20 @@ class PlanSpec extends SparkTestBase {
       pDec.take(3000))
   }
 
+  test("model-broadcast queries: raw text never rides a shuffle (digests/terms only)") {
+    // bm25_rank / lm_perplexity / ann_pq_topk carry one-row or model-sized
+    // broadcasts (the ZoneStats crossJoin pattern), so they're excluded from
+    // the no-BNLJ fence — but their SHUFFLE keys must still be bounded:
+    // gram/word digests, query terms, never the text column itself
+    for (q <- Seq("bm25_rank", "lm_perplexity", "ann_pq_topk")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      val parts = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+      assert(parts.forall(k => !k.contains("text#") && !k.contains("__g#")),
+        s"$q: ${parts.mkString("\n")}")
+    }
+  }
+
   test("blocks_cc: no single-partition exchange (stable component labels as ids)") {
     val p = plan("blocks_cc")
     assert(!p.contains("Exchange SinglePartition"), p.take(3000))
