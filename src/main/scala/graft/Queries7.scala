@@ -777,6 +777,17 @@ object Queries7 {
         .orderBy("doc_id")
     }),
 
+    // -- vocabulary build + token encoding (the stage between curation and
+    //    packing): top-50 words by (freq DESC, word ASC) — a deterministic
+    //    cut — then every doc encoded as space-joined ids with UNK = 50. ----
+    "vocab_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = operators.Vocab.build(docs, "text", size = 50)
+      operators.Vocab.encode(docs, "doc_id", "text", vocab)
+        .select(col("doc_id"), col("n_tokens"), col("n_unk"), col("encoded"))
+        .orderBy("doc_id")
+    }),
+
     // -- PQ + ADC approximate nearest neighbors (the ANN memory-scale
     //    path): 4 subspaces × 16 codes seeded from the first 16 vectors,
     //    L2 encode via the dot-expansion, ADC scan over codes only. Fully
@@ -1184,6 +1195,26 @@ object Queries7 {
         |    '') AS clean_text
         |FROM wp LEFT JOIN cov ON cov.doc_id = wp.doc_id AND cov.pos = wp.p
         |GROUP BY wp.doc_id ORDER BY wp.doc_id""".stripMargin,
+
+    // vocab rebuilt with the same (freq DESC, word ASC) rank + top-50 cut;
+    // encode = positional left join with UNK coalesce, ids re-joined in
+    // position order
+    "vocab_encode" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |cnt AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(w) AS word FROM w) GROUP BY word),
+        |voc AS (SELECT word,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, word) - 1 AS BIGINT)
+        |      AS token_id
+        |  FROM (SELECT * FROM cnt ORDER BY freq DESC, word LIMIT 50)),
+        |wp AS (SELECT doc_id, p, w[p+1] AS word
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS p FROM w)),
+        |enc AS (SELECT wp.doc_id, wp.p, coalesce(voc.token_id, 50) AS tid
+        |  FROM wp LEFT JOIN voc ON voc.word = wp.word)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE tid = 50) AS BIGINT) AS n_unk,
+        |  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY p) AS encoded
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // full PQ replication: codebooks = sliced first-16 vectors (vec_id is
     // dense from 0, so code == vec_id), argmin L2 via the identical

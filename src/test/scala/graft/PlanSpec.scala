@@ -152,6 +152,7 @@ class PlanSpec extends SparkTestBase {
       "indicators/GridIndicators.scala" -> 1,   // formatGrid4Target: one zone's raster fid
       "indicators/PopulationIndicators.scala" -> 1, // offsets over #x-bands rows
       "operators/Similarity.scala" -> 1,        // k rows, bounded by model size
+      "operators/Vocab.scala" -> 1,             // `size` rows, bounded by the vocab
       "operators/SpatialUnits.scala" -> 2,      // offsets over #zones rows (x2)
       "sources/OsmLayers.scala" -> 1)           // offsets over #zones rows
     val root = java.nio.file.Paths.get("src/main/scala/graft")

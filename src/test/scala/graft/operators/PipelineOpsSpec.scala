@@ -414,6 +414,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(7L)._2 == 0L)                          // own repeat: df=1, kept
   }
 
+  test("Vocab: frequency-ranked build with tie cut, UNK encoding") {
+    import spark.implicits._
+    val texts = Seq(
+      0L -> "aa aa aa bb bb cc",  // freqs: aa=3(+1 below)=4? see doc 1
+      1L -> "aa bb cc dd ee",     // aa=4 bb=3 cc=2 dd=1 ee=1 ff=1
+      2L -> "ff dd zz zz zz")     // zz=3, dd=2, ff=1
+    val docs = texts.toDF("doc_id", "text")
+    // full rank: aa=4, zz=3, bb=3, cc=2, dd=2, ee=1, ff=1 ->
+    // (freq DESC, word ASC): aa0, bb1, zz2, cc3, dd4, ee5, ff6; size=4 cuts
+    // at cc (dd/ee/ff -> UNK=4); the bb/zz freq tie resolves alphabetically
+    val vocab = Vocab.build(docs, "text", size = 4)
+      .collect().map(r => r.getString(1) -> (r.getLong(0), r.getLong(2))).toMap
+    assert(vocab == Map("aa" -> ((0L, 4L)), "bb" -> ((1L, 3L)),
+      "zz" -> ((2L, 3L)), "cc" -> ((3L, 2L))))
+    val got = Vocab.encode(docs, "doc_id", "text", Vocab.build(docs, "text", 4))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(0L) == (("0 0 0 1 1 3", 6L, 0L)))
+    assert(got(1L) == (("0 1 3 4 4", 5L, 2L)))   // dd, ee are UNK
+    assert(got(2L) == (("4 4 2 2 2", 5L, 2L)))   // ff, dd UNK; zz in vocab
+  }
+
   test("PQ: brute-force encode (argmin L2, low-code ties) and ADC scores") {
     import spark.implicits._
     // 8 vectors in 4 dims, m=2 subspaces of 2 dims; codebooks seed from the
