@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Curation, Dedup, Pii, TextAnalysis}
+// LangModel / Bm25 / Vocab referenced fully-qualified in their stages
 
 /**
  * Corpus-scale probe for the LLM-curation operator family. The driver
@@ -169,6 +170,21 @@ object CorpusProbe {
           docs.where(pmod(col("doc_id"), lit(1000)) === 0),
           "doc_id", "text", n = 13)
           .where(col("contaminated")).count()
+      }
+      stage("lm_perplexity") {
+        val lm = graft.operators.LangModel.trainBigram(
+          docs.where(col("lang") === "en"), "text")
+        graft.operators.LangModel.perplexity(docs, "doc_id", "text", lm)
+          .agg(sum("n_bigrams"), sum("perplexity")).head()
+      }
+      stage("bm25") {
+        graft.operators.Bm25.score(docs, "doc_id", "text",
+          Seq("the", "word", "time")).count()
+      }
+      stage("vocab_encode") {
+        val v = graft.operators.Vocab.build(docs, "text", size = 48)
+        graft.operators.Vocab.encode(docs, "doc_id", "text", v)
+          .agg(sum("n_unk"), sum("n_tokens")).head()
       }
       s.stop()
     }
