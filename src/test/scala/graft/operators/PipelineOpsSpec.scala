@@ -414,6 +414,63 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(7L)._2 == 0L)                          // own repeat: df=1, kept
   }
 
+  test("packSequences properties on random shards: contiguity, coverage, offsets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val docs = (0 until 300).map(i =>
+      (i.toLong, s"s${rnd.nextInt(4)}", rnd.nextInt(900).toLong))
+    val cap = 128L
+    val got = Curation.packSequences(docs.toDF("doc_id", "shard", "n"),
+        "doc_id", col("n"), col("shard"), capacity = cap)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    for (g <- got.groupBy(_._2).values; s = g.sortBy(_._1)) {
+      // token_start is the exclusive running sum in id order (contiguity:
+      // no gaps, no overlaps — the concatenated stream covers every token)
+      var cum = 0L
+      for ((_, _, n, start, binF, binL, off) <- s) {
+        assert(start == cum); cum += n
+        assert(off == start % cap)
+        assert(binF == start / cap)
+        assert(binL == (start + math.max(n, 1) - 1) / cap)
+        assert(binF <= binL && binL - binF <= n / cap + 1)
+      }
+    }
+  }
+
+  test("removeRepeatedSpans property: survivors carry no repeated window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val n = 3; val minDf = 4
+    val texts = (0 until 60).map { i =>
+      val len = 4 + rnd.nextInt(10)
+      val base = Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+      // a quarter of the docs share an injected 5-word span
+      val ws = if (i % 4 == 0) base.take(2) ++ Seq("x", "y", "z", "w", "v") ++ base.drop(2)
+               else base
+      (i.toLong, ws.mkString(" "))
+    }
+    val docGrams = texts.map { case (i, t) =>
+      i -> t.split(" ").toSeq.sliding(n).filter(_.size == n).toSeq.zipWithIndex
+    }.toMap
+    val df = docGrams.values.flatMap(_.map(_._1.mkString(" ")).distinct)
+      .groupBy(identity).map { case (g, o) => g -> o.size }
+    val got = Dedup.removeRepeatedSpans(texts.toDF("doc_id", "text"),
+        "doc_id", "text", n = n, minDf = minDf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    for ((i, t) <- texts) {
+      val ws = t.split(" ").toSeq
+      val cov = docGrams(i).filter(g => df(g._1.mkString(" ")) >= minDf)
+        .flatMap { case (_, p) => p until p + n }.toSet
+      val kept = ws.zipWithIndex.collect { case (w, j) if !cov(j) => w }
+      assert(got(i) == ((ws.size.toLong, cov.size.toLong, kept.mkString(" "))), i)
+    }
+    // the injected span really is cut somewhere (the property isn't vacuous)
+    assert(got.exists { case (i, (_, removed, _)) => i % 4 == 0 && removed >= 5 })
+  }
+
   test("Vocab: frequency-ranked build with tie cut, UNK encoding") {
     import spark.implicits._
     val texts = Seq(
