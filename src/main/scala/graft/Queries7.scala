@@ -777,6 +777,21 @@ object Queries7 {
         .orderBy("doc_id")
     }),
 
+    // -- lake-staged curation e2e: the full chain (dedup -> gate -> PII ->
+    //    sample -> pack) through Lake.stage commits (manifest + lineage per
+    //    stage, resume contract covered by CurationPipelineSpec); the oracle
+    //    composes the already-verified stage fragments. ---------------------
+    "curation_pipeline_e2e" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-curation-lake").toString
+      lake.CurationPipeline.run(s, root, t(s, dir, "documents"))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("token_start"), col("bin_first"), col("bin_last"),
+          col("offset_in_bin"), round(col("quality"), 6).as("quality"),
+          col("n_pii"))
+        .orderBy("doc_id")
+    }),
+
     // -- vocabulary build + token encoding (the stage between curation and
     //    packing): top-50 words by (freq DESC, word ASC) — a deterministic
     //    cut — then every doc encoded as space-joined ids with UNK = 50. ----
@@ -1195,6 +1210,69 @@ object Queries7 {
         |    '') AS clean_text
         |FROM wp LEFT JOIN cov ON cov.doc_id = wp.doc_id AND cov.pos = wp.p
         |GROUP BY wp.doc_id ORDER BY wp.doc_id""".stripMargin,
+
+    // the text_curation composition (exact dedup -> exact-jaccard near-dup
+    // drop -> lang/quality gate) extended with the PII regex counts (on the
+    // raw survivor text — zero matches on this vocab, so staged==raw), the
+    // md5-bucket sampling filter and the per-shard packing cumsum
+    "curation_pipeline_e2e" -> {
+      val langs = Seq("de", "en", "es", "fr", "it")
+      val hits = langs.map { l =>
+        val pat = graft.operators.TextAnalysis.Stopwords(l).mkString("\\b(", "|", ")\\b")
+        s"len(regexp_split_to_array(text, '$pat')) - 1 AS h_$l"
+      }.mkString(", ")
+      s"""WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |rd AS (SELECT d.doc_id, d.text FROM documents d JOIN reps USING (doc_id)),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM rd),
+        |idx AS (SELECT doc_id, w, unnest(range(0, len(w)-2)) AS g FROM toks WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[g+1:g+3], ' ') AS tri FROM idx),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.tri = b.tri AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |nd AS (SELECT DISTINCT id_b AS doc_id FROM pairs
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.4),
+        |kept AS (SELECT rd.doc_id, rd.text FROM rd
+        |  LEFT JOIN nd ON rd.doc_id = nd.doc_id WHERE nd.doc_id IS NULL),
+        |h AS (SELECT doc_id, text, $hits FROM kept),
+        |l AS (SELECT doc_id, text,
+        |  CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_it) <= 0 THEN 'und'
+        |    WHEN h_it >= h_fr AND h_it >= h_es AND h_it >= h_en AND h_it >= h_de THEN 'it'
+        |    WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+        |    WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+        |    WHEN h_en >= h_de THEN 'en' ELSE 'de' END AS lang_id
+        |  FROM h),
+        |m AS (SELECT doc_id, lang_id, text,
+        |    CAST(length(text) AS DOUBLE) AS ln,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS na
+        |  FROM l),
+        |q AS (SELECT doc_id, lang_id, text,
+        |    round(0.4*least(ln/1000.0, 1.0)
+        |        + 0.3*(1.0 - least(abs((ln - (ntok - 1))/ntok - 5.0)/5.0, 1.0))
+        |        + 0.3*(na/ln), 6) AS quality,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM m WHERE lang_id = 'en'),
+        |g AS (SELECT * FROM q WHERE quality >= 0.6),
+        |pii AS (SELECT doc_id, lang_id, quality, n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+        |      + len(regexp_extract_all(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))
+        |      + len(regexp_extract_all(text, '\\+\\d{1,3}-\\d{3,4}-\\d{4}')) AS BIGINT) AS n_pii
+        |  FROM g),
+        |samp AS (SELECT * FROM pii
+        |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000
+        |    < (CASE lang_id WHEN 'en' THEN 900 ELSE 100 END)),
+        |pk AS (SELECT doc_id, lang_id AS shard, n_tokens, quality, n_pii,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang_id ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS token_start
+        |  FROM samp)
+        |SELECT doc_id, shard, n_tokens, token_start,
+        |  token_start // 512 AS bin_first,
+        |  (token_start + greatest(n_tokens, 1) - 1) // 512 AS bin_last,
+        |  token_start % 512 AS offset_in_bin, quality, n_pii
+        |FROM pk ORDER BY doc_id""".stripMargin
+    },
 
     // vocab rebuilt with the same (freq DESC, word ASC) rank + top-50 cut;
     // encode = positional left join with UNK coalesce, ids re-joined in
