@@ -787,7 +787,7 @@ object Queries2 {
     // is bit-replicable in DuckDB — full oracle, not rows-only.
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3,
-          wordHash = Dedup.md5WordHash, maxBucket = Some(4096))
+          wordHash = Dedup.Md5WordHasher, maxBucket = Some(4096))
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
     }),

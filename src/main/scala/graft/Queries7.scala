@@ -782,14 +782,16 @@ object Queries7 {
     //    stage, resume contract covered by CurationPipelineSpec); the oracle
     //    composes the already-verified stage fragments. ---------------------
     "curation_pipeline_e2e" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-curation-lake").toString
-      lake.CurationPipeline.run(s, root, t(s, dir, "documents"))
-        .select(col("doc_id"), col("shard"), col("n_tokens"),
-          col("token_start"), col("bin_first"), col("bin_last"),
-          col("offset_in_bin"), round(col("quality"), 6).as("quality"),
-          col("n_pii"))
-        .orderBy("doc_id")
+      val root = java.nio.file.Files.createTempDirectory("graft-curation-lake")
+      try {
+        lake.CurationPipeline.run(s, root.toString, t(s, dir, "documents"))
+          .select(col("doc_id"), col("shard"), col("n_tokens"),
+            col("token_start"), col("bin_first"), col("bin_last"),
+            col("offset_in_bin"), round(col("quality"), 6).as("quality"),
+            col("n_pii"))
+          .orderBy("doc_id")
+          .localCheckpoint() // materialize before the lake temp dir is deleted
+      } finally deleteTree(root)
     }),
 
     // -- vocabulary build + token encoding (the stage between curation and

@@ -90,17 +90,22 @@ object Lake {
     val back = spark.read.parquet(dataPath)
     // per-partition (per-file) lineage + metrics, harvested from the hidden
     // _metadata column (file-granular; at real cluster scale this comes from
-    // the commit protocol's task stats instead of a re-scan)
-    val lineage = back
-      .select(col("_metadata.file_path").as("file"), col("_metadata.file_size").as("bytes"))
-      .groupBy("file", "bytes").agg(count(lit(1)).as("rows"))
-      .withColumn("stage", lit(name))
-    lineage.coalesce(1).write.mode("overwrite").parquet(s"$root/$name/lineage-v$version")
-    val stats = spark.read.parquet(s"$root/$name/lineage-v$version")
-      .agg(sum("rows").as("rows"), count(lit(1)).as("files"), sum("bytes").as("bytes"))
-      .head()
-    val m = s"""{"stage":"$name","version":$version,"rows":${stats.getLong(0)},""" +
-      s""""files":${stats.getLong(1)},"bytes":${stats.getLong(2)},""" +
+    // the commit protocol's task stats instead of a re-scan). ONE distributed
+    // pass collects the per-file rows (bounded: one row per output file);
+    // the lineage parquet is then written from the collected local relation
+    // and the manifest stats are summed in-driver — the pre-r7 form re-scanned
+    // the full stage data to write lineage AND re-read the lineage for stats
+    // (2 extra jobs + a second full-data pass per stage).
+    val lineageRows = back
+      .groupBy(col("_metadata.file_path").as("file"), col("_metadata.file_size").as("bytes"))
+      .agg(count(lit(1)).as("rows"))
+      .collect()
+    spark.createDataFrame(lineageRows.toSeq.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))))
+      .toDF("file", "bytes", "rows").withColumn("stage", lit(name))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/$name/lineage-v$version")
+    val m = s"""{"stage":"$name","version":$version,"rows":${lineageRows.map(_.getLong(2)).sum},""" +
+      s""""files":${lineageRows.length},"bytes":${lineageRows.map(_.getLong(1)).sum},""" +
       s""""committedAtMs":${System.currentTimeMillis()}}"""
     // snapshot log first (append), then the pointer (atomic rename = commit)
     Files.write(snapshotsPath(root, name), (m + "\n").getBytes(StandardCharsets.UTF_8),

@@ -64,24 +64,144 @@ object Dedup {
    * h_i(s) where h_i(s) = (a_i * s + b_i) mod p (64-bit arithmetic,
    * deterministic seeds). Returns ArrayType(Long) of length `numHashes`.
    *
-   * The `numHashes` interpreted `aggregate` HOFs are NOT the LSH hot spot:
-   * an A/B against a fused single-pass loop UDF (identical arithmetic)
-   * measured 1.35 s vs 1.10 s for 200k docs × 48 hashes at local[32] —
-   * interpreter overhead is hidden by the cores, so the pure-Catalyst form
-   * stays (no UDF in the path). The LSH stage's actual scale hazard is the
-   * uncapped hot band-bucket join (see [[minhashLsh]]'s `maxBucket`:
-   * 201 s → 17 s on the same corpus, identical output pairs).
+   * This pure-Catalyst form is kept as the reference semantics (and the
+   * property oracle for the fused kernel below); [[minhashLsh]] runs the
+   * bit-identical single-pass loop kernel [[shingleSigUdf]] instead —
+   * `numHashes` interpreted `aggregate` HOFs re-walk the shingle array once
+   * per hash (measured: the signature localCheckpoint was the single
+   * largest job of text_curation / curation_pipeline_e2e at 1.3 s; the
+   * fused kernel computes words→hashes→windows→all signatures in one pass).
    */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
     // 31-bit Mersenne prime field: pmod(s,P) < 2^31 and a < 2^31 keep the
     // product below 2^62 — no overflow under ANSI arithmetic.
-    val P = 2147483647L // 2^31 - 1
-    val rnd = new scala.util.Random(42)
-    val coefs = Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
+    val coefs = minhashCoefs(numHashes)
     array(coefs.map { case (a, b) =>
       aggregate(shingleCol, lit(Long.MaxValue),
         (acc, s) => least(acc, pmod(pmod(s, lit(P)) * a + b, lit(P))))
     }: _*)
+  }
+
+  // ---- fused JVM kernels (bit-identical to the Catalyst forms) ------------
+  // House rule (CLAUDE.md): higher-order Catalyst expressions are
+  // interpreted; hot paths may drop to a loop UDF ONLY with the SAME
+  // left-to-right evaluation order so results are bit-identical. Everything
+  // here is 64-bit integer arithmetic — no floating point at all — and
+  // DedupKernelSpec asserts equality against the Catalyst forms per row.
+
+  private val P = 2147483647L // 2^31 - 1 (Mersenne)
+
+  /** The (a_i, b_i) coefficient sequence — shared by the Catalyst and the
+    * fused kernels so both draw the identical Random(42) stream. */
+  private def minhashCoefs(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
+  }
+
+  /** JVM replica of Catalyst `xxhash64(stringCol)` (seed 42, UTF-8 bytes) —
+    * delegates to the engine's own interpreted hash function, so it is the
+    * same implementation codegen calls. */
+  private[operators] def xxWord(w: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(w),
+      org.apache.spark.sql.types.StringType, 42L)
+
+  /** JVM replica of [[md5WordHash]]: first 15 hex chars of md5(UTF-8 bytes)
+    * parsed base-16 (60 bits — fits a long exactly like Catalyst `conv`). */
+  private[operators] def md5Word(w: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var acc = 0L
+    var i = 0
+    while (i < 8) { // 15 hex chars = 7.5 bytes: 7 full bytes + high nibble of byte 7
+      val b = d(i) & 0xff
+      if (i < 7) acc = (acc << 8) | b else acc = (acc << 4) | (b >>> 4)
+      i += 1
+    }
+    acc
+  }
+
+  /** Word hashes of `text.split(" ", -1)` — same split semantics as Catalyst
+    * `split(col, " ", -1)` (Java regex, trailing empties kept). */
+  private def wordHashes(text: String, hash: String => Long): Array[Long] = {
+    val words = text.split(" ", -1)
+    val out = new Array[Long](words.length)
+    var i = 0
+    while (i < words.length) { out(i) = hash(words(i)); i += 1 }
+    out
+  }
+
+  /** Fused k-shingle kernel: identical arithmetic to [[shingles]] (XOR of
+    * per-position rotations, window order preserved). */
+  private def shingleArr(hw: Array[Long], k: Int): Array[Long] = {
+    val m = math.max(hw.length - k + 1, 0)
+    val out = new Array[Long](m)
+    var w = 0
+    while (w < m) {
+      var acc = 0L
+      var j = 0
+      while (j < k) {
+        val r = (j * 21) % 63
+        val h = hw(w + j)
+        acc ^= (if (r == 0) h else (h << r) | (h >>> (64 - r)))
+        j += 1
+      }
+      out(w) = acc
+      w += 1
+    }
+    out
+  }
+
+  /** Fused minhash kernel: identical arithmetic to [[minhashSignature]]
+    * (pmod into the Mersenne field, left-to-right min fold). */
+  private def signatureArr(sh: Array[Long], coefs: Array[(Long, Long)]): Array[Long] = {
+    val sig = new Array[Long](coefs.length)
+    var i = 0
+    while (i < coefs.length) {
+      val (a, b) = coefs(i)
+      var acc = Long.MaxValue
+      var j = 0
+      while (j < sh.length) {
+        val sp = { val m = sh(j) % P; if (m < 0) m + P else m } // pmod(s, P)
+        val v = (sp * a + b) % P                                 // already >= 0
+        if (v < acc) acc = v
+        j += 1
+      }
+      sig(i) = acc
+      i += 1
+    }
+    sig
+  }
+
+  /** One-pass (shingles, minhash signature) of a document — the fused form
+    * of `shingles(text, k)` + `minhashSignature(sh, numHashes)`. */
+  private[operators] def shingleSigUdf(k: Int, numHashes: Int) = {
+    val coefs = minhashCoefs(numHashes).toArray
+    udf { (text: String) =>
+      if (text == null) null
+      else {
+        val sh = shingleArr(wordHashes(text, xxWord), k)
+        (sh, signatureArr(sh, coefs))
+      }
+    }
+  }
+
+  /** One-pass distinct shingle set — the fused form of
+    * `array_distinct(shingles(text, k))` (first-occurrence order, like
+    * Catalyst array_distinct). */
+  private[operators] def distinctShinglesUdf(k: Int) = udf { (text: String) =>
+    if (text == null) null
+    else {
+      val sh = shingleArr(wordHashes(text, xxWord), k)
+      val seen = new java.util.LinkedHashSet[java.lang.Long](sh.length * 2)
+      var i = 0
+      while (i < sh.length) { seen.add(sh(i)); i += 1 }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out
+    }
   }
 
   /**
@@ -114,12 +234,16 @@ object Dedup {
                  maxBucket: Option[Int] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
     // materialize the signature table once: the banded self-join would
-    // otherwise re-evaluate the (interpreted, higher-order) shingle +
-    // signature expressions on both join sides
+    // otherwise re-evaluate the shingle + signature kernel on both join
+    // sides. The fused loop UDF computes words→hashes→windows→all
+    // signatures in ONE pass (bit-identical to the Catalyst
+    // shingles/minhashSignature forms — DedupKernelSpec; the interpreted
+    // aggregate HOFs re-walked the shingle array once per hash and were the
+    // single largest job of the curation chain).
     val withSig = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .select(col(idCol).as("id"), shingleSigUdf(k, numHashes)(col(textCol)).as("__ss"))
+      .select(col("id"), col("__ss._1").as("sh"), col("__ss._2").as("sig"))
       .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .localCheckpoint()
     // band join carries IDs ONLY — the shingle arrays (the heavy payload)
     // never ride the band shuffle; they re-attach for the verify stage
@@ -180,6 +304,41 @@ object Dedup {
                 wordHash: Column => Column = xxhash64(_)): Column =
     simhashCombine(transform(split(textCol, " ", -1), w => wordHash(w)))
 
+  /** Word-hash selector for the fused simhash kernel: the JVM function and
+    * the Catalyst column form are the same hash bit-for-bit. */
+  sealed trait WordHasher { private[operators] def jvm: String => Long }
+  case object XxWordHasher extends WordHasher {
+    private[operators] val jvm: String => Long = xxWord
+  }
+  case object Md5WordHasher extends WordHasher {
+    private[operators] val jvm: String => Long = md5Word
+  }
+
+  /** Fused simhash kernel: split + per-word hash + 64 bit-counters in one
+    * loop (bit-identical to `simhash64(textCol, hasher)` — DedupKernelSpec;
+    * the Catalyst form pays an interpreted `transform` per word). */
+  private[operators] def simhashUdf(hasher: WordHasher) = {
+    val h = hasher.jvm
+    udf { (text: String) =>
+      if (text == null) null
+      else {
+        val words = text.split(" ", -1)
+        val counts = new Array[Int](64)
+        var i = 0
+        while (i < words.length) {
+          val wh = h(words(i))
+          var j = 0
+          while (j < 64) { if (((wh >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1; j += 1 }
+          i += 1
+        }
+        var out = 0L
+        var j = 0
+        while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+        java.lang.Long.valueOf(out)
+      }
+    }
+  }
+
   /** SimHash near-dup pairs: candidates share one of 4 16-bit chunks
     * (any pair within Hamming distance 3 shares a chunk — pigeonhole, so
     * candidate generation is LOSSLESS for maxHamming <= 3);
@@ -193,11 +352,12 @@ object Dedup {
     *   Verify stays exact. None = lossless. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
-                   wordHash: Column => Column = xxhash64(_),
+                   wordHash: WordHasher = XxWordHasher,
                    maxBucket: Option[Int] = None): DataFrame = {
-    // materialized once: simhash64 is 64 interpreted aggregates per row —
-    // never let the self-join recompute it per side
-    val sh = docs.select(col(idCol).as("id"), simhash64(col(textCol), wordHash).as("h"))
+    // materialized once — never let the self-join recompute the hash per
+    // side; the fused loop kernel replaces the interpreted per-word
+    // transform (bit-identical, DedupKernelSpec)
+    val sh = docs.select(col(idCol).as("id"), simhashUdf(wordHash)(col(textCol)).as("h"))
       .localCheckpoint()
     val chunked0 = sh.select(col("id"), col("h"),
       posexplode(array((0 until 4).map(c =>
@@ -236,7 +396,9 @@ object Dedup {
                         k: Int = 3, threshold: Double = 0.3,
                         maxDf: Option[Int] = None): DataFrame = {
     val sets = docs.select(col(idCol).as("id"),
-        array_distinct(shingles(col(textCol), k)).as("sh"))
+        // fused loop kernel — bit-identical to
+        // array_distinct(shingles(textCol, k)) (DedupKernelSpec)
+        distinctShinglesUdf(k)(col(textCol)).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("sz", size(col("sh")))
       .localCheckpoint() // one materialization feeds postings (+ verify)
