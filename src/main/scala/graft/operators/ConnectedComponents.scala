@@ -42,9 +42,14 @@ object ConnectedComponents {
       val stepped = labels.join(nbr, Seq("id"), "left")
         .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("nbr_component"), col("component"))).as("component"))
-        .localCheckpoint()
-      // pointer-jumping: component := label(component) (labels are vertex ids)
-      val ptr = stepped.select(col("id").as("__cid"), col("component").as("__cc"))
+      // pointer-jumping: component := label(component) (labels are vertex
+      // ids). The jump reads the PREVIOUS round's checkpointed labels — the
+      // classic parent-pointer form — so one round is ONE query over the
+      // checkpointed state and ONE checkpoint (the pre-r7 form checkpointed
+      // the un-jumped step too: 2 materializations + 3 jobs per round).
+      // Same monotone fixpoint (min reachable id) and the same convergence
+      // certificate: no change ⇔ labels constant across every edge.
+      val ptr = labels.select(col("id").as("__cid"), col("component").as("__cc"))
       val compressed = stepped.join(ptr, stepped("component") === ptr("__cid"), "left")
         .select(col("id"), col("old"),
           least(col("component"), coalesce(col("__cc"), col("component"))).as("component"))
@@ -53,6 +58,7 @@ object ConnectedComponents {
       labels = compressed.drop("old")
       iter += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"CC_ROUNDS $iter")
     labels
   }
 

@@ -395,6 +395,9 @@ object Similarity {
     val spark = data.sparkSession
     val bc = spark.sparkContext.broadcast(collectCodebooks(cb))
     val enc = udf { (v: Seq[Float]) =>
+      // null vector -> null codes (ADVICE r6: propagate, don't NPE the job)
+      if (v == null) null
+      else {
       val b = bc.value; val va = v.toArray
       val m = b.length; val sub = va.length / m
       val out = new Array[Int](m)
@@ -412,6 +415,7 @@ object Similarity {
         out(j) = best; j += 1
       }
       out
+      }
     }
     data.select(col(idCol), enc(col(vecCol)).as("codes"))
   }

@@ -19,13 +19,23 @@ import graft.index.CellGrid
  */
 object Tiling {
 
+  /** Scale-adaptive slice count for a generated table of `n` rows: ~64k
+    * cells per task (a city grid stays 1 task; a 10^8-cell national grid
+    * still fans out), capped at 4x the cluster parallelism. The default
+    * `spark.range` slicing (defaultParallelism) costs 32 near-empty tasks
+    * per scan of a 9-cell fixture grid — guide §2.2/§6: partition count
+    * must follow data volume, not a host constant. */
+  private def rangeSlices(spark: SparkSession, n: Long): Int =
+    math.min(math.max(1L, (n + 65535L) / 65536L),
+      4L * spark.sparkContext.defaultParallelism).toInt
+
   /** Rectangular grid as a DataFrame(id_grid, id_col, id_row, the_geom WKB).
     * Generated distributed via `spark.range` — no driver-side loop. */
   def makeGrid(spark: SparkSession, x0: Double, y0: Double, x1: Double, y1: Double,
                dx: Double, dy: Double): DataFrame = {
     val nCols = math.ceil((x1 - x0) / dx).toLong
     val nRows = math.ceil((y1 - y0) / dy).toLong
-    spark.range(nCols * nRows).toDF("id_grid")
+    spark.range(0, nCols * nRows, 1, rangeSlices(spark, nCols * nRows)).toDF("id_grid")
       .withColumn("id_col", (col("id_grid") % nCols).cast("int") + 1)
       .withColumn("id_row", (col("id_grid") / nCols).cast("int") + 1)
       .withColumn("the_geom", G.stMakeBox(
@@ -41,7 +51,7 @@ object Tiling {
     require(nCols > 0 && nRows > 0, "grid counts must be positive")
     val dx = (x1 - x0) / nCols
     val dy = (y1 - y0) / nRows
-    spark.range(nCols * nRows).toDF("id_grid")
+    spark.range(0, nCols * nRows, 1, rangeSlices(spark, nCols * nRows)).toDF("id_grid")
       .withColumn("id_col", (col("id_grid") % nCols).cast("int") + 1)
       .withColumn("id_row", (col("id_grid") / nCols).cast("int") + 1)
       .withColumn("the_geom", G.stMakeBox(

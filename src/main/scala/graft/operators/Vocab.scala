@@ -53,19 +53,24 @@ object Vocab {
     val unk = entries.length.toLong
     val bc = spark.sparkContext.broadcast(entries.toMap)
     val enc = udf { (text: String) =>
-      val m = bc.value
-      val words = text.split(" ", -1)
-      val sb = new StringBuilder
-      var nUnk = 0L
-      var i = 0
-      while (i < words.length) {
-        val id = m.getOrElse(words(i), unk)
-        if (id == unk) nUnk += 1
-        if (i > 0) sb.append(' ')
-        sb.append(id)
-        i += 1
+      // null text -> null encoding (ADVICE r6: the Catalyst paths in this
+      // family propagate nulls instead of failing the job)
+      if (text == null) null
+      else {
+        val m = bc.value
+        val words = text.split(" ", -1)
+        val sb = new StringBuilder
+        var nUnk = 0L
+        var i = 0
+        while (i < words.length) {
+          val id = m.getOrElse(words(i), unk)
+          if (id == unk) nUnk += 1
+          if (i > 0) sb.append(' ')
+          sb.append(id)
+          i += 1
+        }
+        (sb.toString, words.length.toLong, nUnk)
       }
-      (sb.toString, words.length.toLong, nUnk)
     }
     docs.select(col(idCol), enc(col(textCol)).as("__e"))
       .select(col(idCol), col("__e._1").as("encoded"),
