@@ -42,14 +42,18 @@ object ConnectedComponents {
       val stepped = labels.join(nbr, Seq("id"), "left")
         .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("nbr_component"), col("component"))).as("component"))
+        .localCheckpoint()
       // pointer-jumping: component := label(component) (labels are vertex
-      // ids). The jump reads the PREVIOUS round's checkpointed labels — the
-      // classic parent-pointer form — so one round is ONE query over the
-      // checkpointed state and ONE checkpoint (the pre-r7 form checkpointed
-      // the un-jumped step too: 2 materializations + 3 jobs per round).
-      // Same monotone fixpoint (min reachable id) and the same convergence
-      // certificate: no change ⇔ labels constant across every edge.
-      val ptr = labels.select(col("id").as("__cid"), col("component").as("__cc"))
+      // ids). The jump deliberately reads THIS round's stepped labels (the
+      // "fresh" jump), which costs a second materialization per round.
+      // Round-7 A/B (GRAFT_CC_DEBUG round counts on the blocks / TSU-veg /
+      // TSU-water fixture graphs): jumping through the PREVIOUS round's
+      // checkpointed labels (classic parent-pointer, 1 materialization per
+      // round) adds +1 round on the chain-shaped graphs (2→3, 3→4), and a
+      // DOUBLE stale jump still loses one graph (3→4) — an extra round
+      // re-runs the edge⋈labels aggregation, which dominates a label-set
+      // materialization at scale, so the fresh jump stays.
+      val ptr = stepped.select(col("id").as("__cid"), col("component").as("__cc"))
       val compressed = stepped.join(ptr, stepped("component") === ptr("__cid"), "left")
         .select(col("id"), col("old"),
           least(col("component"), coalesce(col("__cc"), col("component"))).as("component"))

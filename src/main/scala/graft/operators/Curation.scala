@@ -39,11 +39,13 @@ object Curation {
       jaccardThreshold, maxBucket)
     val dropIds = near.select(col("id_b").as(idCol)).distinct()
     val kept = reps.join(dropIds, Seq(idCol), "left_anti")
-    // 3. language + quality gate
-    kept.select(col(idCol),
-        TextAnalysis.langId(col(textCol)).as("lang_id"),
-        TextAnalysis.qualityScore(col(textCol)).as("quality"),
-        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+    // 3. language + quality gate — fused single-pass kernel (bit-identical
+    // to the Catalyst langId/qualityScore/tokenCount, TextKernelSpec; the
+    // separate forms cost 5 stopword regex passes + a char-class
+    // regexp_replace + 2 splits per row)
+    kept.select(col(idCol), TextAnalysis.langQualityTokensUdf(col(textCol)).as("__g"))
+      .select(col(idCol), col("__g._1").as("lang_id"),
+        col("__g._2").as("quality"), col("__g._3").as("n_tokens"))
       .where(col("lang_id") === lang && col("quality") >= minQuality)
   }
 

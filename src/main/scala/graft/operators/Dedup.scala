@@ -268,11 +268,25 @@ object Dedup {
     candIds
       .join(sets.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      // fused verify — bit-identical to size(array_intersect)/size(array_union)
+      // + double division (DedupKernelSpec); the Catalyst collection
+      // expressions are interpreted and build fresh hash sets per pair
+      .withColumn("jaccard", jaccardUdf(col("sh"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Distinct-set jaccard of two long arrays — the fused form of
+    * `size(array_intersect(a,b)) / size(array_union(a,b))` (distinct
+    * semantics on both, |A∪B| = |A|+|B|−|A∩B|, same IEEE division). */
+  private[operators] val jaccardUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    val sa = new java.util.HashSet[java.lang.Long](math.max(16, a.length * 2))
+    a.foreach(sa.add(_))
+    val sb = new java.util.HashSet[java.lang.Long](math.max(16, b.length * 2))
+    var inter = 0
+    b.foreach { x => if (sb.add(x) && sa.contains(x)) inter += 1 }
+    val uni = sa.size + sb.size - inter
+    inter.toDouble / uni
   }
 
   /** Word hash expressible in BOTH Spark and DuckDB: the top 15 hex chars of
@@ -433,9 +447,10 @@ object Dedup {
         candIds
           .join(sets.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
           .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-          .withColumn("inter", size(array_intersect(col("sh"), col("sh_b"))))
-          .withColumn("jaccard", col("inter").cast("double")
-            / (size(col("sh")) + size(col("sh_b")) - col("inter")))
+          // sets are already distinct, so |A|+|B|−|A∩B| equals the previous
+          // size(sh)+size(sh_b)−inter denominator — fused verify, same IEEE
+          // division (DedupKernelSpec)
+          .withColumn("jaccard", jaccardUdf(col("sh"), col("sh_b")))
           .where(col("jaccard") >= threshold)
           .select("id_a", "id_b", "jaccard")
     }

@@ -64,6 +64,28 @@ class DedupKernelSpec extends SparkTestBase {
     }
   }
 
+  test("fused jaccard verify == array_intersect/array_union Catalyst form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 60).map { i =>
+      val a = Array.fill(rnd.nextInt(40) + 1)(rnd.nextInt(25).toLong) // heavy dups
+      val b = Array.fill(rnd.nextInt(40) + 1)(rnd.nextInt(25).toLong)
+      (i.toLong, a, b)
+    } :+ ((61L, Array(1L, 2L, 3L), Array(1L, 2L, 3L))) :+
+      ((62L, Array(1L), Array(2L)))
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      Dedup.jaccardUdf(col("a"), col("b")).as("fused"),
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b")))).as("ref")).collect()
+    got.foreach { r =>
+      // bit-exact double equality (same integer counts, same division)
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"jaccard diverges for id=${r.getLong(0)}")
+    }
+  }
+
   test("null text: fused kernels propagate null like the Catalyst forms") {
     import spark.implicits._
     val d = Seq((1L, null.asInstanceOf[String]), (2L, "a b c d")).toDF("id", "text")
