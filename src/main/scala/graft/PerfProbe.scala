@@ -30,6 +30,29 @@ object PerfProbe {
       TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       .where(col("lang_id") === "en" && col("quality") >= 0.6).count())
     time("curate")(Curation.curate(docs, "doc_id", "text", "en", 0.6).count())
+
+    // ---- flagship kernel stages (the bench's scaling metric) -------------
+    if (sys.env.contains("GRAFT_FLAGSHIP_PROBE")) {
+      val n = 40000000L
+      val grid = graft.index.CellGrid.fixture
+      val parts = 64
+      def pages = graft.lake.Pages.geocode(graft.lake.Pages.synth(s, n, parts))
+      val rsu = graft.fixtures.GeoFixture.rsuDf(s).select(col("id_rsu"), col("the_geom"))
+      time("fs_synth_geocode") {
+        pages.agg(sum(col("x") + col("y"))).head(); n }
+      time("fs_cell") {
+        pages.select(operators.SpatialJoin.cellColumn(grid, 10, col("x"), col("y")).as("c"))
+          .agg(max("c")).head(); n }
+      time("fs_join") {
+        operators.SpatialJoin.pointInPolygon(pages, "x", "y", rsu, "the_geom", grid, 10)
+          .agg(count(lit(1))).head(); n }
+      time("fs_full")({
+        operators.SpatialJoin.pointInPolygon(pages, "x", "y", rsu, "the_geom", grid, 10)
+          .groupBy(col("id_rsu"),
+            operators.Tiling.tileCol(col("x"), 0.0, 10.0).as("id_col"),
+            operators.Tiling.tileRow(col("y"), 0.0, 10.0).as("id_row"))
+          .agg(count(lit(1)).as("cnt")).agg(sum("cnt")).head(); n})
+    }
     s.stop()
   }
 }

@@ -50,11 +50,43 @@ object Geo {
   private final class Lru[K, V](cap: Int) extends java.util.LinkedHashMap[K, V](cap * 2, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean = size() > cap
   }
-  private val prepCache = ThreadLocal.withInitial[Lru[java.nio.ByteBuffer, PreparedGeometry]](
-    () => new Lru[java.nio.ByteBuffer, PreparedGeometry](4096))
+
+  /** Cache key over WKB bytes with a CONSTANT-TIME hash (length + first /
+    * middle / last 8 bytes) and full-byte equality. The r1–r6 ByteBuffer key
+    * hashed the ENTIRE byte array per probe (and re-scanned it in equals) —
+    * two full passes over every polygon's WKB for every point of the
+    * 10^12-row side. The sampled hash only selects the bucket; equality
+    * stays exact (java.util.Arrays.equals — vectorizedMismatch intrinsic),
+    * so a hash collision costs a chain walk, never a wrong geometry. */
+  private final class WkbKey(val bytes: Array[Byte]) {
+    override val hashCode: Int = {
+      val n = bytes.length
+      var h = n * -1640531527
+      if (n >= 8) {
+        def word(off: Int): Int =
+          ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+            ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        h = h * 31 + word(0)
+        h = h * 31 + word(n / 2 - 4)
+        h = h * 31 + word(n - 8)
+        h = h * 31 + word(n - 4)
+      } else {
+        var i = 0
+        while (i < n) { h = h * 31 + bytes(i); i += 1 }
+      }
+      h
+    }
+    override def equals(o: Any): Boolean = o match {
+      case k: WkbKey => (k.bytes eq bytes) || java.util.Arrays.equals(k.bytes, bytes)
+      case _ => false
+    }
+  }
+
+  private val prepCache = ThreadLocal.withInitial[Lru[WkbKey, PreparedGeometry]](
+    () => new Lru[WkbKey, PreparedGeometry](4096))
 
   def prepared(wkb: Array[Byte]): PreparedGeometry = {
-    val key = java.nio.ByteBuffer.wrap(wkb)
+    val key = new WkbKey(wkb)
     val c = prepCache.get
     var p = c.get(key)
     if (p == null) { p = PreparedGeometryFactory.prepare(fromWkb(wkb)); c.put(key, p) }
@@ -67,12 +99,12 @@ object Geo {
   // ~3x throughput loss at 32 threads). locate() on a cached
   // IndexedPointInAreaLocator with a REUSED thread-local Coordinate allocates
   // nothing on the hot path. Location.INTERIOR == strict `contains` for points.
-  private val locCache = ThreadLocal.withInitial[Lru[java.nio.ByteBuffer, org.locationtech.jts.algorithm.locate.IndexedPointInAreaLocator]](
+  private val locCache = ThreadLocal.withInitial[Lru[WkbKey, org.locationtech.jts.algorithm.locate.IndexedPointInAreaLocator]](
     () => new Lru(4096))
   private val reusedCoord = ThreadLocal.withInitial[Coordinate](() => new Coordinate())
 
   def containsPointFast(wkb: Array[Byte], x: Double, y: Double): Boolean = {
-    val key = java.nio.ByteBuffer.wrap(wkb)
+    val key = new WkbKey(wkb)
     val c = locCache.get
     var loc = c.get(key)
     if (loc == null) {
