@@ -31,6 +31,38 @@ object PerfProbe {
       .where(col("lang_id") === "en" && col("quality") >= 0.6).count())
     time("curate")(Curation.curate(docs, "doc_id", "text", "en", 0.6).count())
 
+    // ---- flagship fixed overhead: full pipeline at negligible row count --
+    if (sys.env.contains("GRAFT_FLAGSHIP_OVERHEAD")) {
+      val grid = graft.index.CellGrid.fixture
+      val rsu = graft.fixtures.GeoFixture.rsuDf(s).select(col("id_rsu"), col("the_geom"))
+      def tiny = graft.lake.Pages.geocode(graft.lake.Pages.synth(s, 1000, 16))
+      def run(): Long = {
+        operators.SpatialJoin.pointInPolygon(tiny, "x", "y", rsu, "the_geom", grid, 10)
+          .groupBy(col("id_rsu"),
+            operators.Tiling.tileCol(col("x"), 0.0, 10.0).as("id_col"),
+            operators.Tiling.tileRow(col("y"), 0.0, 10.0).as("id_row"))
+          .agg(count(lit(1)).as("cnt")).agg(sum("cnt")).head(); 1000L
+      }
+      run(); run() // warm
+      (1 to 5).foreach { i =>
+        val t0 = System.nanoTime()
+        run()
+        println(f"PPROBE fs_overhead_$i ${(System.nanoTime() - t0) / 1e9}%7.3fs")
+      }
+      // bisect: dictionary construction vs plain pipeline pieces
+      def t(name: String)(body: => Unit): Unit = {
+        body
+        val t0 = System.nanoTime(); body
+        println(f"PPROBE ov_$name ${(System.nanoTime() - t0) / 1e9}%7.3fs")
+      }
+      t("rsu_collect") { rsu.collect() }
+      t("tiny_agg_only") { tiny.agg(sum(col("x"))).head() }
+      t("join_construct") {
+        operators.SpatialJoin.pointInPolygon(tiny, "x", "y", rsu, "the_geom", grid, 10) }
+      t("join_head") {
+        operators.SpatialJoin.pointInPolygon(tiny, "x", "y", rsu, "the_geom", grid, 10)
+          .agg(count(lit(1))).head() }
+    }
     // ---- flagship kernel stages (the bench's scaling metric) -------------
     if (sys.env.contains("GRAFT_FLAGSHIP_PROBE")) {
       val n = 40000000L
